@@ -1,0 +1,271 @@
+"""Step-matrix feature representations: dense, walk-log, and ELL-consolidated.
+
+This is the TPU-native replacement for three reference components at once:
+  * the dense (N, N, L) step tensor (reference
+    efficient_graph_gp/random_walk_samplers/sampler.py:188-203),
+  * the list of per-step scipy CSR matrices (reference
+    efficient_graph_gp_sparse/random_walk_samplers_sparse/sparse_sampler.py:117-131),
+  * the torch ``SparseLinearOperator`` wrapper (reference
+    efficient_graph_gp_sparse/utils_sparse/sparse_lo.py:4-25).
+
+There is no CSR on TPU; the two sparse layouts here are fixed-shape and
+gather/scatter friendly:
+  * :class:`WalkLog` (from .walker) — the raw trace; Φ·v is a gather + a
+    (W, L)-reduction, Φᵀ·v is a scatter-add. Zero consolidation cost.
+  * ELL step matrices — per-row deduplicated (cols, vals) with static row
+    capacity. Costs one sort to build, then every matvec is O(nnz) — the
+    right layout for CG loops that do hundreds of matvecs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .walker import WalkConfig, WalkLog
+
+
+# ---------------------------------------------------------------------------
+# Walk-log linear operators (Φ and the M_l themselves, without consolidation)
+# ---------------------------------------------------------------------------
+
+
+def log_phi_matvec(
+    log: WalkLog, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``Φ @ v`` with ``Φ = Σ_l f_l M_l`` straight from the walk log.
+
+    v: (Nt,) or (Nt, B). Returns (N,) or (N, B).
+    """
+    l, n, w = log.curs.shape
+    f = jnp.asarray(modulator, jnp.float32)
+    gathered = v[log.curs]  # (L, N, W) or (L, N, W, B)
+    weights = (log.loads / w) * f[:, None, None]
+    if v.ndim == 1:
+        return jnp.einsum("lnw,lnw->n", weights, gathered)
+    return jnp.einsum("lnw,lnwb->nb", weights, gathered)
+
+
+def log_phi_rmatvec(
+    log: WalkLog, modulator: jnp.ndarray, v: jnp.ndarray, num_target_nodes: int
+) -> jnp.ndarray:
+    """``Φᵀ @ v``: scatter-add of f_l·load·v[start] onto visited nodes."""
+    l, n, w = log.curs.shape
+    f = jnp.asarray(modulator, jnp.float32)
+    weights = (log.loads / w) * f[:, None, None]  # (L, N, W)
+    if v.ndim == 1:
+        vals = (weights * v[None, :, None]).reshape(-1)
+        return jnp.zeros((num_target_nodes,), jnp.float32).at[log.curs.reshape(-1)].add(vals)
+    b = v.shape[1]
+    vals = (weights[..., None] * v[None, :, None, :]).reshape(-1, b)
+    return (
+        jnp.zeros((num_target_nodes, b), jnp.float32)
+        .at[log.curs.reshape(-1)]
+        .add(vals)
+    )
+
+
+def log_phi_rows(
+    log: WalkLog, modulator: jnp.ndarray, rows: jnp.ndarray, num_target_nodes: int
+) -> jnp.ndarray:
+    """Dense rows ``Φ[rows, :]`` (R, Nt) — for K_test,train style blocks."""
+    l, _, w = log.curs.shape
+    f = jnp.asarray(modulator, jnp.float32)
+    curs = log.curs[:, rows, :]  # (L, R, W)
+    weights = (log.loads[:, rows, :] / w) * f[:, None, None]
+    r = rows.shape[0]
+    row_ix = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :, None], curs.shape)
+    flat = (row_ix * num_target_nodes + curs).reshape(-1)
+    out = jnp.zeros((r * num_target_nodes,), jnp.float32).at[flat].add(weights.reshape(-1))
+    return out.reshape(r, num_target_nodes)
+
+
+# ---------------------------------------------------------------------------
+# ELL-consolidated step matrices
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllStepMatrices:
+    """Per-step sparse matrices in stacked ELL layout.
+
+    cols: int32[L, N, R] — deduplicated visited-node ids per (step, start).
+        Padded slots point at node 0 with value 0.
+    vals: float32[L, N, R] — summed loads / walks_per_node (i.e. M_l entries).
+    num_target_nodes: static — column dimension of each M_l.
+    """
+
+    cols: jnp.ndarray
+    vals: jnp.ndarray
+    num_target_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.cols.shape[1]
+
+    @property
+    def row_capacity(self) -> int:
+        return self.cols.shape[2]
+
+    def nnz(self) -> jnp.ndarray:
+        return jnp.sum(self.vals != 0)
+
+
+def _consolidate_rows(
+    cols: jnp.ndarray, vals: jnp.ndarray, capacity: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deduplicate (cols, vals) pairs along the last axis into ≤capacity slots.
+
+    cols: int32[..., W], vals: f32[..., W] → (int32[..., R], f32[..., R]).
+    Entries beyond capacity are dropped (callers pick capacity = max distinct
+    via :func:`suggest_row_capacity` for lossless consolidation).
+    """
+    order = jnp.argsort(cols, axis=-1)
+    c = jnp.take_along_axis(cols, order, axis=-1)
+    v = jnp.take_along_axis(vals, order, axis=-1)
+    is_new = jnp.concatenate(
+        [
+            jnp.ones((*c.shape[:-1], 1), dtype=bool),
+            c[..., 1:] != c[..., :-1],
+        ],
+        axis=-1,
+    )
+    # Zero-valued entries (halted walks with masked load) still occupy slots;
+    # push them to a dedicated "dead" key so they collapse together. We mark
+    # them by checking v == 0 *after* dedup instead: simpler — treat them as
+    # real entries; their summed value is 0 and matvec ignores them.
+    seg = jnp.cumsum(is_new, axis=-1) - 1  # (..., W) values in [0, W)
+    seg_clip = jnp.minimum(seg, capacity - 1)
+    valid = seg < capacity
+    out_vals = jnp.zeros((*c.shape[:-1], capacity), jnp.float32)
+    out_cols = jnp.zeros((*c.shape[:-1], capacity), jnp.int32)
+    out_vals = _scatter_add_lastaxis(out_vals, seg_clip, jnp.where(valid, v, 0.0))
+    out_cols = _scatter_set_lastaxis(out_cols, seg_clip, c, valid)
+    return out_cols, out_vals
+
+
+def _scatter_add_lastaxis(out, idx, vals):
+    """Batched scatter-add along the last axis (flatten batch dims)."""
+    shape = out.shape
+    r = shape[-1]
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    flat_out = out.reshape(b, r)
+    flat_idx = idx.reshape(b, -1)
+    flat_vals = vals.reshape(b, -1)
+    rows = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], flat_idx.shape
+    ).reshape(-1)
+    flat = rows * r + flat_idx.reshape(-1)
+    res = flat_out.reshape(-1).at[flat].add(flat_vals.reshape(-1))
+    return res.reshape(shape)
+
+
+def _scatter_set_lastaxis(out, idx, vals, valid):
+    shape = out.shape
+    r = shape[-1]
+    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    flat_idx = idx.reshape(b, -1)
+    flat_vals = vals.reshape(b, -1)
+    rows = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], flat_idx.shape
+    ).reshape(-1)
+    flat = jnp.where(
+        valid.reshape(-1), rows * r + flat_idx.reshape(-1), b * r
+    )  # invalid → dropped (index OOB with drop mode)
+    res = (
+        out.reshape(-1)
+        .at[flat]
+        .set(flat_vals.reshape(-1), mode="drop")
+    )
+    return res.reshape(shape)
+
+
+def suggest_row_capacity(log: WalkLog, multiple: int = 8) -> int:
+    """Host-side: max distinct visited nodes over all (step, start) rows,
+    rounded up for lane alignment. Use as the static ELL capacity."""
+    curs = np.asarray(log.curs)
+    l, n, w = curs.shape
+    flat = np.sort(curs.reshape(l * n, w), axis=-1)
+    distinct = 1 + (flat[:, 1:] != flat[:, :-1]).sum(axis=-1)
+    cap = int(distinct.max(initial=1))
+    return min(((cap + multiple - 1) // multiple) * multiple, w)
+
+
+@partial(jax.jit, static_argnames=("capacity", "num_target_nodes", "walks_per_node"))
+def consolidate(
+    log: WalkLog,
+    capacity: int,
+    num_target_nodes: Optional[int] = None,
+    walks_per_node: Optional[int] = None,
+) -> EllStepMatrices:
+    """WalkLog → ELL step matrices (one sort + segment-sum, all on device)."""
+    l, n, w = log.curs.shape
+    nt = num_target_nodes or n
+    wpn = walks_per_node or w
+    cols, vals = _consolidate_rows(log.curs, log.loads / wpn, capacity)
+    return EllStepMatrices(cols=cols, vals=vals, num_target_nodes=nt)
+
+
+def ell_phi_matvec(
+    mats: EllStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``Φ @ v`` from ELL step matrices. v: (Nt,) or (Nt, B)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    gathered = v[mats.cols]  # (L, N, R[, B])
+    if v.ndim == 1:
+        return jnp.einsum("l,lnr,lnr->n", f, mats.vals, gathered)
+    return jnp.einsum("l,lnr,lnrb->nb", f, mats.vals, gathered)
+
+
+def ell_phi_rmatvec(
+    mats: EllStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``Φᵀ @ v``. v: (N,) or (N, B)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    weights = mats.vals * f[:, None, None]  # (L, N, R)
+    nt = mats.num_target_nodes
+    if v.ndim == 1:
+        vals = (weights * v[None, :, None]).reshape(-1)
+        return jnp.zeros((nt,), jnp.float32).at[mats.cols.reshape(-1)].add(vals)
+    b = v.shape[1]
+    vals = (weights[..., None] * v[None, :, None, :]).reshape(-1, b)
+    return jnp.zeros((nt, b), jnp.float32).at[mats.cols.reshape(-1)].add(vals)
+
+
+def ell_phi_rows(
+    mats: EllStepMatrices, modulator: jnp.ndarray, rows: jnp.ndarray
+) -> jnp.ndarray:
+    """Dense ``Φ[rows, :]`` (R, Nt)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    cols = mats.cols[:, rows, :]  # (L, R, C)
+    weights = mats.vals[:, rows, :] * f[:, None, None]
+    r = rows.shape[0]
+    nt = mats.num_target_nodes
+    row_ix = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :, None], cols.shape)
+    flat = (row_ix * nt + cols).reshape(-1)
+    out = jnp.zeros((r * nt,), jnp.float32).at[flat].add(weights.reshape(-1))
+    return out.reshape(r, nt)
+
+
+def ell_to_dense(mats: EllStepMatrices) -> jnp.ndarray:
+    """(L, N, Nt) dense reconstruction, for tests/small N."""
+    l, n, r = mats.cols.shape
+    nt = mats.num_target_nodes
+    step_ix = jnp.broadcast_to(
+        jnp.arange(l, dtype=jnp.int32)[:, None, None], mats.cols.shape
+    )
+    row_ix = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[None, :, None], mats.cols.shape
+    )
+    flat = ((step_ix * n + row_ix) * nt + mats.cols).reshape(-1)
+    out = jnp.zeros((l * n * nt,), jnp.float32).at[flat].add(mats.vals.reshape(-1))
+    return out.reshape(l, n, nt)

@@ -1,0 +1,180 @@
+"""Graph-kernel constructors: GRF estimates and exact/deterministic baselines.
+
+Functional equivalents of the reference's L3 layer
+(efficient_graph_gp/graph_kernels/: fast_grf_kernel_general.py,
+fast_grf_kernel_diffusion.py, diffusion_kernel.py, feature_matrix_kernel.py,
+grf_kernel.py) — one JAX implementation serving both the dense and sparse
+regimes instead of two parallel stacks.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graphs import PackedGraph, normalized_laplacian, pack_laplacian
+from .modulators import diffusion_modulator
+from .walker import WalkConfig, sample_dense_step_matrices, sample_walk_log
+
+
+def step_matrices_for_adjacency(
+    adj,
+    key: jax.Array,
+    walks_per_node: int = 50,
+    p_halt: float = 0.1,
+    max_walk_length: int = 10,
+    ablation: bool = False,
+) -> jnp.ndarray:
+    """Adjacency → normalized Laplacian → dense (L, N, N) step matrices.
+
+    The `ablation=True` mode walks the *raw adjacency* with the ad-hoc load
+    update, mirroring reference gpflow_kernels/general_kernel_fast_grf.py:44-51.
+    """
+    cfg = WalkConfig(
+        walks_per_node=walks_per_node,
+        p_halt=p_halt,
+        max_walk_length=max_walk_length,
+        ablation=ablation,
+    )
+    if ablation:
+        from .graphs import pack_dense
+
+        graph = pack_dense(np.asarray(adj))
+    else:
+        graph = pack_laplacian(adj)
+    return sample_dense_step_matrices(graph, key, cfg)
+
+
+def fast_general_grf_kernel(
+    adj,
+    modulator_vector: Sequence[float],
+    walks_per_node: int = 50,
+    p_halt: float = 0.1,
+    max_walk_length: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """GRF kernel estimate ``K = ΦΦᵀ``, ``Φ = Σ_l f_l M_l``.
+
+    Matches reference ``fast_general_grf_kernel``
+    (graph_kernels/fast_grf_kernel_general.py:11-39); the reference hard-codes
+    walk seed 42, we default ``key = PRNGKey(42)``.
+    """
+    f = jnp.asarray(modulator_vector, jnp.float32)
+    if max_walk_length is None:
+        max_walk_length = int(f.shape[0])
+    elif max_walk_length != int(f.shape[0]):
+        raise ValueError(
+            f"modulator_vector has length {int(f.shape[0])} but "
+            f"max_walk_length={max_walk_length}; they must match "
+            "(one modulation weight per walk step)."
+        )
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    mats = step_matrices_for_adjacency(
+        adj, key, walks_per_node, p_halt, max_walk_length
+    )
+    phi = jnp.einsum("l,lij->ij", f, mats)
+    return phi @ phi.T
+
+
+def fast_diffusion_grf_kernel(
+    adj,
+    beta: float = 1.0,
+    walks_per_node: int = 50,
+    p_halt: float = 0.1,
+    max_walk_length: int = 10,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Diffusion-kernel GRF estimate: modulator = Taylor of exp(-βL/2)
+    (reference graph_kernels/fast_grf_kernel_diffusion.py:7-21)."""
+    f = diffusion_modulator(max_walk_length, beta)
+    return fast_general_grf_kernel(
+        adj, f, walks_per_node, p_halt, max_walk_length, key
+    )
+
+
+def diffusion_kernel(adj, beta: float = 1.0) -> jnp.ndarray:
+    """Exact heat kernel ``exp(-βL)`` ground truth (reference
+    graph_kernels/diffusion_kernel.py:6-12). Uses eigh (L symmetric PSD),
+    which is more TPU-robust than expm's Padé scaling-and-squaring."""
+    lap = normalized_laplacian(jnp.asarray(adj, jnp.float32))
+    evals, evecs = jnp.linalg.eigh(lap)
+    return (evecs * jnp.exp(-beta * evals)[None, :]) @ evecs.T
+
+
+def feature_matrix_kernel(
+    adj, beta: float = 1.0, max_expansion: int = 10
+) -> jnp.ndarray:
+    """PoFM deterministic baseline: ``K_f = Σ_l f_l L^l``, ``K = K_f K_fᵀ``
+    (reference graph_kernels/feature_matrix_kernel.py:6-19)."""
+    lap = normalized_laplacian(jnp.asarray(adj, jnp.float32))
+    f = diffusion_modulator(max_expansion, beta)
+
+    def body(carry, fl):
+        power, acc = carry
+        acc = acc + fl * power
+        power = power @ lap
+        return (power, acc), None
+
+    n = lap.shape[0]
+    eye = jnp.eye(n, dtype=lap.dtype)
+    (_, kf), _ = jax.lax.scan(body, (eye, jnp.zeros_like(lap)), f)
+    return kf @ kf.T
+
+
+def general_pofm_feature_matrix(
+    adj, coefficients: jnp.ndarray
+) -> jnp.ndarray:
+    """``Σ_p c_p A^p`` over raw-adjacency powers, the learnable-PoFM feature
+    matrix (reference gpflow_kernels/general_kernel_pofm.py:7-93,
+    compute_pstep_walk_matrix)."""
+    a = jnp.asarray(adj, jnp.float32)
+    c = jnp.asarray(coefficients, jnp.float32)
+
+    def body(carry, cp):
+        power, acc = carry
+        acc = acc + cp * power
+        power = power @ a
+        return (power, acc), None
+
+    eye = jnp.eye(a.shape[0], dtype=a.dtype)
+    (_, kf), _ = jax.lax.scan(body, (eye, jnp.zeros_like(a)), c)
+    return kf
+
+
+def grf_kernel_unbiased(
+    adj,
+    modulator_vector: Sequence[float],
+    walks_per_node: int = 50,
+    p_halt: float = 0.1,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Two-independent-GRF estimator ``K = Φ₁Φ₂ᵀ`` — unbiased for the
+    *squared* kernel (reference graph_kernels/grf_kernel.py:85-92, which uses
+    seeds 42/84). Not guaranteed PSD, unlike ``ΦΦᵀ``."""
+    f = jnp.asarray(modulator_vector, jnp.float32)
+    lmax = int(f.shape[0])
+    if key is None:
+        key = jax.random.PRNGKey(42)
+    k1, k2 = jax.random.split(key)
+    cfg = WalkConfig(walks_per_node=walks_per_node, p_halt=p_halt, max_walk_length=lmax)
+    graph = pack_laplacian(adj)
+    m1 = sample_dense_step_matrices(graph, k1, cfg)
+    m2 = sample_dense_step_matrices(graph, k2, cfg)
+    phi1 = jnp.einsum("l,lij->ij", f, m1)
+    phi2 = jnp.einsum("l,lij->ij", f, m2)
+    return phi1 @ phi2.T
+
+
+def gram_from_phi(phi: jnp.ndarray, idx1=None, idx2=None, diag: bool = False):
+    """K[idx1, idx2] = Φ[idx1] Φ[idx2]ᵀ with node-index gathers — the
+    indexing contract of all reference GP kernel adapters
+    (gpflow_kernels/general_kernel_fast_grf.py:61-77,
+    gptorch_kernels_sparse/sparse_grf_kernel.py:24-49)."""
+    p1 = phi if idx1 is None else phi[jnp.asarray(idx1, jnp.int32)]
+    p2 = phi if idx2 is None else phi[jnp.asarray(idx2, jnp.int32)]
+    if diag:
+        return jnp.sum(p1 * p2, axis=-1)
+    return p1 @ p2.T

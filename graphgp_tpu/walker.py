@@ -1,0 +1,252 @@
+"""Vectorized random-walk engine (XLA path).
+
+TPU-native re-design of the reference's triply-nested Python walk loops
+(reference: efficient_graph_gp/random_walk_samplers/sampler.py:40-61 and
+efficient_graph_gp_sparse/random_walk_samplers_sparse/sparse_sampler.py:40-55).
+
+Design:
+  * All ``N * walks_per_node`` walks advance in lockstep under one
+    ``lax.scan`` over ``max_walk_length`` steps — no data-dependent control
+    flow, static shapes throughout, so XLA tiles every step into two gathers,
+    a handful of VPU elementwise ops, and (for the dense consumer) one
+    scatter-add.
+  * Early halting is an *alive mask*, not a break: a halted walk keeps riding
+    the lanes with load masked to zero. p_halt geometrically truncates walks,
+    so for typical p_halt the wasted lanes are bounded by L·p_halt.
+  * RNG is a counter-based hash keyed by ``(key, step, global_node, walk)`` —
+    results are bit-identical no matter how walks are sharded over devices
+    (the reference's results change with n_processes; see SURVEY §5.2).
+
+Estimator semantics match the reference's *principled* importance weights:
+at each transition ``load *= degree * weight / (1 - p_halt)`` (reference
+sampler.py:59, the multiplicative multiprocessing-path update — the unbiased
+estimator making ``E[M_l] = L^l``). The ``ablation`` flag reproduces the
+ad-hoc update ``load = weight`` (reference sampler.py:180-183).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .graphs import PackedGraph
+
+
+@dataclasses.dataclass(frozen=True)
+class WalkConfig:
+    """Static walk hyperparameters (hashable; safe as a jit static arg)."""
+
+    walks_per_node: int = 50
+    p_halt: float = 0.1
+    max_walk_length: int = 10
+    ablation: bool = False
+
+
+class WalkLog(NamedTuple):
+    """Raw walk trace: the sparse-feature representation of the step matrices.
+
+    ``M_l[i, j] = (1/W) * sum_w loads[l, i, w] * [curs[l, i, w] == j]``.
+
+    curs: int32[L, N, W] — node occupied at step l by walk w from node i.
+    loads: float32[L, N, W] — signed importance weight, 0 if the walk halted
+        before step l (mask is pre-applied, so consumers never re-mask).
+    """
+
+    curs: jnp.ndarray
+    loads: jnp.ndarray
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.curs.shape[0]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.curs.shape[1]
+
+    @property
+    def walks_per_node(self) -> int:
+        return self.curs.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# Counter-based RNG: splitmix32-style mixing, shard-invariant by construction.
+# ---------------------------------------------------------------------------
+
+
+def _mix(h: jnp.ndarray) -> jnp.ndarray:
+    """splitmix32 finalizer: full-avalanche 32-bit mix."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _hash_words(*words: jnp.ndarray) -> jnp.ndarray:
+    """Combine u32 words (broadcast) into one well-mixed u32 per element."""
+    h = jnp.uint32(0x9E3779B9)
+    for w in words:
+        h = _mix(h ^ jnp.asarray(w, jnp.uint32))
+    return h
+
+
+def _key_words(key: jax.Array) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    data = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    return data[0], data[-1]
+
+
+def _uniform_01(bits: jnp.ndarray) -> jnp.ndarray:
+    """u32 → float32 uniform in [0, 1) with 24 bits of entropy."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+# ---------------------------------------------------------------------------
+# The walk scan.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "total_nodes"))
+def sample_walk_log(
+    graph: PackedGraph,
+    key: jax.Array,
+    cfg: WalkConfig,
+    node_offset: jnp.ndarray | int = 0,
+    total_nodes: Optional[int] = None,
+) -> WalkLog:
+    """Run ``walks_per_node`` importance-sampled walks from every node.
+
+    Args:
+        graph: ELL-packed weighted graph (typically the normalized Laplacian).
+            Under sharding this is the *local node-block*: ``neighbors`` /
+            ``weights`` rows for local start nodes, but column ids global —
+            callers must pass a graph whose gather tables cover all reachable
+            nodes (for single-host use the full graph).
+        key: PRNG key; only used as hash salt → shard-invariant streams.
+        cfg: static walk configuration.
+        node_offset: global index of this shard's first node (0 single-shard).
+        total_nodes: unused for RNG math but kept for signature stability.
+
+    Returns:
+        WalkLog with ``curs``/``loads`` of shape (L, N_local, W).
+    """
+    del total_nodes
+    n, w = graph.num_nodes, cfg.walks_per_node
+    dmax = graph.max_degree
+    k0, k1 = _key_words(key)
+    start = jnp.arange(n, dtype=jnp.int32)
+    global_node = (jnp.asarray(node_offset, jnp.uint32) + start.astype(jnp.uint32))[
+        :, None
+    ]  # (N, 1)
+    walk_id = jnp.arange(w, dtype=jnp.uint32)[None, :]  # (1, W)
+
+    flat_neighbors = graph.neighbors.reshape(-1)
+    flat_weights = graph.weights.reshape(-1)
+    inv_keep = jnp.float32(1.0 / (1.0 - cfg.p_halt))
+
+    def step(carry, l):
+        cur, load, alive = carry
+        rec_cur = cur
+        rec_load = jnp.where(alive, load, 0.0)
+
+        bits_halt = _hash_words(k0, k1, l * 2, global_node, walk_id)
+        bits_pick = _hash_words(k0, k1, l * 2 + 1, global_node, walk_id)
+        u_halt = _uniform_01(bits_halt)
+        u_pick = _uniform_01(bits_pick)
+
+        deg = graph.degree[cur]  # (N, W) gather
+        degf = deg.astype(jnp.float32)
+        halt = (deg == 0) | (u_halt < cfg.p_halt)
+
+        pick = jnp.minimum(
+            (u_pick * degf).astype(jnp.int32), jnp.maximum(deg - 1, 0)
+        )
+        flat_idx = cur * dmax + pick
+        nxt = flat_neighbors[flat_idx]
+        wgt = flat_weights[flat_idx]
+
+        if cfg.ablation:
+            new_load = wgt
+        else:
+            new_load = load * degf * wgt * inv_keep
+
+        alive_next = alive & ~halt
+        cur_next = jnp.where(alive_next, nxt, cur)
+        load_next = jnp.where(alive_next, new_load, load)
+        return (cur_next, load_next, alive_next), (rec_cur, rec_load)
+
+    cur0 = jnp.broadcast_to(start[:, None], (n, w))
+    load0 = jnp.ones((n, w), dtype=jnp.float32)
+    alive0 = jnp.ones((n, w), dtype=bool)
+    steps = jnp.arange(cfg.max_walk_length, dtype=jnp.uint32)
+    _, (curs, loads) = jax.lax.scan(step, (cur0, load0, alive0), steps)
+    return WalkLog(curs=curs, loads=loads)
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_target_nodes"))
+def dense_step_matrices(
+    log: WalkLog, cfg: WalkConfig, num_target_nodes: Optional[int] = None
+) -> jnp.ndarray:
+    """Consolidate a WalkLog into dense step matrices ``M`` of shape (L, N, Nt).
+
+    ``M[l]`` is the Monte-Carlo estimate of ``L_graph^l`` (unbiased under the
+    principled load update). Equivalent of the reference's dict-accumulator →
+    dense array merge (reference sampler.py:188-203) as one scatter-add per
+    step.
+    """
+    l, n, w = log.curs.shape
+    nt = num_target_nodes or n
+    start = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :, None], (l, n, w))
+    flat = (start * nt + log.curs).reshape(-1)
+    vals = (log.loads / cfg.walks_per_node).reshape(-1)
+    # Single flat scatter-add over all (step, start, cur) triples.
+    step_ix = jnp.broadcast_to(
+        jnp.arange(l, dtype=jnp.int32)[:, None, None], (l, n, w)
+    ).reshape(-1)
+    out = jnp.zeros((l * n * nt,), dtype=jnp.float32)
+    out = out.at[step_ix * (n * nt) + flat].add(vals)
+    return out.reshape(l, n, nt)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def sample_dense_step_matrices(
+    graph: PackedGraph, key: jax.Array, cfg: WalkConfig
+) -> jnp.ndarray:
+    """Walk + consolidate in one jit: ``(L, N, N)`` dense step matrices.
+
+    Functional equivalent of reference
+    ``RandomWalk.get_random_walk_matrices`` (sampler.py:93-146) minus its
+    (N, N, L) axis order — we put the step axis first so each ``M_l`` is a
+    contiguous MXU-friendly matrix. Use ``jnp.moveaxis(M, 0, -1)`` for the
+    reference layout.
+    """
+    log = sample_walk_log(graph, key, cfg)
+    return dense_step_matrices(log, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fused_phi(
+    graph: PackedGraph,
+    key: jax.Array,
+    modulator: jnp.ndarray,
+    cfg: WalkConfig,
+) -> jnp.ndarray:
+    """Sample walks and directly accumulate ``Φ = Σ_l f_l · M_l`` (N, N).
+
+    Fuses the modulator contraction into the walk accumulation, skipping the
+    (L, N, N) intermediate — useful when f is fixed (e.g. one HMC leapfrog
+    step's kernel build). For hyperparameter learning prefer the step-matrix
+    path, which makes Φ(f) a cheap contraction (the reference's key trick,
+    SURVEY §0.5).
+    """
+    log = sample_walk_log(graph, key, cfg)
+    l, n, w = log.curs.shape
+    f = jnp.asarray(modulator, jnp.float32).reshape(l, 1, 1)
+    start = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :, None], (l, n, w))
+    flat = (start * n + log.curs).reshape(-1)
+    vals = (f * log.loads / cfg.walks_per_node).reshape(-1)
+    phi = jnp.zeros((n * n,), dtype=jnp.float32).at[flat].add(vals)
+    return phi.reshape(n, n)
