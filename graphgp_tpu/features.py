@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -254,6 +254,106 @@ def ell_phi_rows(
     flat = (row_ix * nt + cols).reshape(-1)
     out = jnp.zeros((r * nt,), jnp.float32).at[flat].add(weights.reshape(-1))
     return out.reshape(r, nt)
+
+
+# ---------------------------------------------------------------------------
+# Unified feature-operator protocol: one GP stack over three layouts.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DenseFeatures:
+    """Φ built from dense (L, N, Nt) step matrices — the small-N regime
+    (reference dense stack, gpflow_kernels/*)."""
+
+    step_matrices: jnp.ndarray  # (L, N, Nt)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.step_matrices.shape[1]
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.step_matrices.shape[2]
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.step_matrices.shape[0]
+
+    def phi(self, f: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum("l,lij->ij", jnp.asarray(f, jnp.float32), self.step_matrices)
+
+    def matvec(self, f, v):
+        return self.phi(f) @ v
+
+    def rmatvec(self, f, v):
+        return self.phi(f).T @ v
+
+    def rows(self, f, idx):
+        return jnp.einsum(
+            "l,lij->ij", jnp.asarray(f, jnp.float32), self.step_matrices[:, idx, :]
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EllFeatures:
+    """Φ over consolidated ELL step matrices — the large-N regime
+    (replaces reference SparseLinearOperator + per-step CSR list)."""
+
+    mats: EllStepMatrices
+
+    @property
+    def num_nodes(self) -> int:
+        return self.mats.num_nodes
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.mats.num_target_nodes
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.mats.max_walk_length
+
+    def matvec(self, f, v):
+        return ell_phi_matvec(self.mats, f, v)
+
+    def rmatvec(self, f, v):
+        return ell_phi_rmatvec(self.mats, f, v)
+
+    def rows(self, f, idx):
+        return ell_phi_rows(self.mats, f, idx)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LogFeatures:
+    """Φ straight off the walk log — zero consolidation cost; best when only
+    a few Φ products are needed (e.g. one-shot Thompson sampling)."""
+
+    log: WalkLog
+    num_target_nodes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_nodes(self) -> int:
+        return self.log.num_nodes
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.log.max_walk_length
+
+    def matvec(self, f, v):
+        return log_phi_matvec(self.log, f, v)
+
+    def rmatvec(self, f, v):
+        return log_phi_rmatvec(self.log, f, v, self.num_target_nodes)
+
+    def rows(self, f, idx):
+        return log_phi_rows(self.log, f, idx, self.num_target_nodes)
+
+
+Features = Any  # DenseFeatures | EllFeatures | LogFeatures (duck-typed protocol)
 
 
 def ell_to_dense(mats: EllStepMatrices) -> jnp.ndarray:

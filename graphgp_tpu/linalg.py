@@ -193,6 +193,12 @@ def _slq_from_tridiag(alphas, betas, norms_sq, n_probes):
     return jnp.mean(vals)
 
 
+def _slq_forward(matvec, params, probes, num_lanczos_iters):
+    alphas, betas = lanczos(matvec, params, probes, num_lanczos_iters)
+    norms_sq = jnp.sum(probes * probes, axis=0)
+    return _slq_from_tridiag(alphas, betas, norms_sq, probes.shape[1])
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
 def slq_logdet(
     matvec: Matvec,
@@ -208,15 +214,13 @@ def slq_logdet(
     Gradient: ``d logdet = E_z[z^T A^{-1} (dA) z]`` — backward runs CG solves
     of the probes (GPyTorch's strategy, done here with a JAX custom VJP).
     """
-    alphas, betas = lanczos(matvec, params, probes, num_lanczos_iters)
-    norms_sq = jnp.sum(probes * probes, axis=0)
-    return _slq_from_tridiag(alphas, betas, norms_sq, probes.shape[1])
+    return _slq_forward(matvec, params, probes, num_lanczos_iters)
 
 
-def _slq_fwd(matvec, num_lanczos_iters, solver_tol, solver_max_iters, params, probes):
-    val = slq_logdet(
-        matvec, params, probes, num_lanczos_iters, solver_tol, solver_max_iters
-    )
+def _slq_fwd(matvec, params, probes, num_lanczos_iters, solver_tol, solver_max_iters):
+    # NB: custom_vjp fwd receives args in their ORIGINAL positions (nondiff
+    # included); only the bwd gets nondiff args as leading arguments.
+    val = _slq_forward(matvec, params, probes, num_lanczos_iters)
     return val, (params, probes)
 
 
@@ -232,8 +236,10 @@ def _slq_bwd(matvec, num_lanczos_iters, solver_tol, solver_max_iters, residuals,
         av = matvec(pp, probes)  # (N, P)
         return jnp.sum(solves * av) / p
 
-    dparams = jax.grad(quad)(params)
-    dparams = jax.tree_util.tree_map(lambda t: g * t, dparams)
+    # jax.vjp (not jax.grad): params may contain integer leaves (e.g. node
+    # index arrays riding in the matvec carry) which get float0 cotangents.
+    _, vjp_fn = jax.vjp(quad, params)
+    (dparams,) = vjp_fn(g)
     dprobes = jnp.zeros_like(probes)
     return dparams, dprobes
 
