@@ -1,0 +1,129 @@
+"""Multi-chip sharding: mesh construction, sharded walking, sharded GP steps.
+
+TPU-native replacement for the reference's only parallelism — a fork-pool of
+CPU processes splitting start nodes (reference
+efficient_graph_gp/random_walk_samplers/sampler.py:119-143, SURVEY §2.4 P1) —
+re-designed as SPMD over a ``jax.sharding.Mesh``:
+
+  * **Walks** shard over start-node blocks (one axis, 'nodes'): each device
+    walks its block against replicated gather tables; the counter-based RNG
+    keys on global node ids, so sharded results are *bit-identical* to
+    single-device results (the reference's change with n_processes).
+  * **Feature tensors / walk logs** stay sharded over the node axis; Φ
+    products under pjit induce the XLA collectives (all_gather of the small
+    train-row blocks, psum of partial mat-vecs) the reference has no analog
+    of (SURVEY §5.8).
+  * **HMC chains** shard over a 'chains' axis (embarrassingly parallel).
+
+On a single host this is exercised with the 8-device virtual CPU platform
+(tests/conftest.py); on hardware the same code spans a pod slice.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .features import DenseFeatures, EllFeatures, EllStepMatrices, LogFeatures
+from .graphs import PackedGraph
+from .walker import WalkConfig, WalkLog, sample_walk_log
+
+
+def make_mesh(num_devices: Optional[int] = None, axis_name: str = "nodes") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def sharded_walk_log(
+    graph: PackedGraph,
+    key: jax.Array,
+    cfg: WalkConfig,
+    mesh: Mesh,
+) -> WalkLog:
+    """Walk all nodes with start-node blocks sharded over the mesh.
+
+    Gather tables are replicated; the log comes back sharded over axis 1.
+    Node count is padded up to a multiple of the mesh size (padded rows walk
+    real nodes but are sliced off before returning).
+    """
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    n = graph.num_nodes
+    n_pad = _pad_to_multiple(n, nd)
+    block = n_pad // nd
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+    )
+    def walk(graph_rep, key_rep):
+        shard_ix = jax.lax.axis_index(axis)
+        offset = shard_ix * block
+        log = sample_walk_log(
+            graph_rep, key_rep, cfg, node_offset=offset, num_start_nodes=block
+        )
+        return log.curs, log.loads
+
+    curs, loads = walk(graph, key)
+    if n_pad != n:
+        # Tail-shard rows with start node >= n are junk (gathers clamp
+        # in-bounds, results well-defined) — slice them off.
+        curs = curs[:, :n, :]
+        loads = loads[:, :n, :]
+    return WalkLog(curs=curs, loads=loads)
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_features(feats, mesh: Mesh):
+    """Place a Features pytree with its node axis sharded over the mesh.
+
+    DenseFeatures: (L, N, Nt) → P(None, 'nodes', None)
+    EllFeatures:   (L, N, R) cols/vals → P(None, 'nodes', None)
+    LogFeatures:   (L, N, W) curs/loads → P(None, 'nodes', None)
+    """
+    axis = mesh.axis_names[0]
+    row_sharded = NamedSharding(mesh, P(None, axis, None))
+    if isinstance(feats, DenseFeatures):
+        return DenseFeatures(jax.device_put(feats.step_matrices, row_sharded))
+    if isinstance(feats, EllFeatures):
+        mats = feats.mats
+        return EllFeatures(
+            EllStepMatrices(
+                cols=jax.device_put(mats.cols, row_sharded),
+                vals=jax.device_put(mats.vals, row_sharded),
+                num_target_nodes=mats.num_target_nodes,
+            )
+        )
+    if isinstance(feats, LogFeatures):
+        return LogFeatures(
+            WalkLog(
+                curs=jax.device_put(feats.log.curs, row_sharded),
+                loads=jax.device_put(feats.log.loads, row_sharded),
+            ),
+            num_target_nodes=feats.num_target_nodes,
+        )
+    raise TypeError(f"unsupported features type {type(feats)!r}")
+
+
+def sharded_hmc_chains(mesh: Mesh):
+    """Sharding helper for the HMC chain axis: use with
+    ``jax.jit(..., in_shardings=...)`` over chain-leading pytrees."""
+    axis = mesh.axis_names[0]
+    return NamedSharding(mesh, P(axis))

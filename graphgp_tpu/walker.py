@@ -109,38 +109,39 @@ def _uniform_01(bits: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "total_nodes"))
+@partial(jax.jit, static_argnames=("cfg", "num_start_nodes"))
 def sample_walk_log(
     graph: PackedGraph,
     key: jax.Array,
     cfg: WalkConfig,
     node_offset: jnp.ndarray | int = 0,
-    total_nodes: Optional[int] = None,
+    num_start_nodes: Optional[int] = None,
 ) -> WalkLog:
-    """Run ``walks_per_node`` importance-sampled walks from every node.
+    """Run ``walks_per_node`` importance-sampled walks from every start node.
 
     Args:
         graph: ELL-packed weighted graph (typically the normalized Laplacian).
-            Under sharding this is the *local node-block*: ``neighbors`` /
-            ``weights`` rows for local start nodes, but column ids global —
-            callers must pass a graph whose gather tables cover all reachable
-            nodes (for single-host use the full graph).
+            Gather tables (``neighbors``/``weights``/``degree``) must cover
+            every *reachable* node — i.e. the full graph — even when only a
+            block of start nodes is walked.
         key: PRNG key; only used as hash salt → shard-invariant streams.
         cfg: static walk configuration.
-        node_offset: global index of this shard's first node (0 single-shard).
-        total_nodes: unused for RNG math but kept for signature stability.
+        node_offset: global index of the first start node (0 single-shard).
+            Under shard_map each device passes its block offset; the
+            counter-based RNG keys on the *global* node id, so a sharded walk
+            is bit-identical to the single-device walk.
+        num_start_nodes: walk only this many nodes starting at node_offset
+            (default: all nodes in the graph).
 
     Returns:
-        WalkLog with ``curs``/``loads`` of shape (L, N_local, W).
+        WalkLog with ``curs``/``loads`` of shape (L, num_start_nodes, W).
     """
-    del total_nodes
-    n, w = graph.num_nodes, cfg.walks_per_node
+    n = num_start_nodes if num_start_nodes is not None else graph.num_nodes
+    w = cfg.walks_per_node
     dmax = graph.max_degree
     k0, k1 = _key_words(key)
-    start = jnp.arange(n, dtype=jnp.int32)
-    global_node = (jnp.asarray(node_offset, jnp.uint32) + start.astype(jnp.uint32))[
-        :, None
-    ]  # (N, 1)
+    start = jnp.asarray(node_offset, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
+    global_node = start.astype(jnp.uint32)[:, None]  # (N, 1)
     walk_id = jnp.arange(w, dtype=jnp.uint32)[None, :]  # (1, W)
 
     flat_neighbors = graph.neighbors.reshape(-1)
@@ -179,8 +180,11 @@ def sample_walk_log(
         return (cur_next, load_next, alive_next), (rec_cur, rec_load)
 
     cur0 = jnp.broadcast_to(start[:, None], (n, w))
-    load0 = jnp.ones((n, w), dtype=jnp.float32)
-    alive0 = jnp.ones((n, w), dtype=bool)
+    # Derive the initial load/alive carries from cur0 (not fresh constants) so
+    # that under shard_map they inherit cur0's varying mesh axes — lax.scan
+    # requires carry in/out manual-axes to match.
+    load0 = jnp.where(cur0 >= 0, 1.0, 1.0).astype(jnp.float32)
+    alive0 = cur0 >= 0
     steps = jnp.arange(cfg.max_walk_length, dtype=jnp.uint32)
     _, (curs, loads) = jax.lax.scan(step, (cur0, load0, alive0), steps)
     return WalkLog(curs=curs, loads=loads)
