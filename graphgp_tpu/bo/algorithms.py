@@ -1,0 +1,249 @@
+"""Bayesian-optimization node-selection algorithms.
+
+Re-design of the reference's BO zoo (reference
+experiments/graph_bo/utils/bo_utils.py:14-291 — the canonical copy; a second
+near-duplicate lives at experiments/sparse/scalable_bo/bo_utils/
+bo_algorithms.py, deliberately unified here):
+
+  * Graph-traversal baselines (Random/BFS/DFS/Greedy) are host-side frontier
+    bookkeeping over the CSR adjacency — inherently sequential control flow,
+    kept in NumPy (they do no FLOPs worth accelerating).
+  * ``GRFThompson`` is the compute path: GRF-GP Thompson sampling via
+    pathwise conditioning (reference SparseGRF, bo_utils.py:213-291), with
+    the same retrain-interval model caching, restricted to unvisited nodes —
+    running on TPU through the shared Features/iterative-GP stack.
+"""
+from __future__ import annotations
+
+import dataclasses
+from abc import ABC, abstractmethod
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+class Algorithm(ABC):
+    """select_next_points/update protocol (reference bo_utils.py:14-25)."""
+
+    def __init__(self, n_nodes: int, rng: np.random.Generator):
+        self.n_nodes = n_nodes
+        self.rng = rng
+
+    @abstractmethod
+    def select_next_points(
+        self, observed_idx: np.ndarray, observed_y: np.ndarray, batch_size: int = 1
+    ) -> List[int]:
+        ...
+
+    def update(self, observed_idx: np.ndarray, observed_y: np.ndarray) -> None:
+        pass
+
+
+class RandomSearch(Algorithm):
+    def select_next_points(self, observed_idx, observed_y, batch_size=1):
+        return self.rng.choice(self.n_nodes, size=batch_size, replace=False).tolist()
+
+
+class _TraversalBase(Algorithm):
+    def __init__(self, adjacency_csr, n_nodes, rng):
+        super().__init__(n_nodes, rng)
+        self.adj = adjacency_csr.tocsr()
+        self.visited: set = set()
+
+    def _neighbors(self, node: int) -> List[int]:
+        return self.adj.indices[
+            self.adj.indptr[node] : self.adj.indptr[node + 1]
+        ].tolist()
+
+    def update(self, observed_idx, observed_y):
+        self.visited.update(int(i) for i in observed_idx)
+
+
+class BFS(_TraversalBase):
+    """FIFO frontier expansion (reference bo_utils.py:33-96)."""
+
+    def __init__(self, adjacency_csr, n_nodes, rng):
+        super().__init__(adjacency_csr, n_nodes, rng)
+        self.queue: List[int] = []
+
+    def _expand_from(self, node, selected):
+        for nb in self._neighbors(node):
+            if nb not in self.visited and nb not in self.queue and nb not in selected:
+                self.queue.append(nb)
+
+    def select_next_points(self, observed_idx, observed_y, batch_size=1):
+        if not self.queue:
+            self._expand_from(int(self.rng.choice(observed_idx)), set())
+        self.queue = [n for n in self.queue if n not in self.visited]
+        selected: List[int] = []
+        while len(selected) < batch_size:
+            if not self.queue:
+                self._expand_from(int(self.rng.choice(observed_idx)), set(selected))
+            if self.queue:
+                selected.append(self.queue.pop(0))
+            else:
+                unvisited = list(set(range(self.n_nodes)) - self.visited - set(selected))
+                if not unvisited:
+                    break
+                selected.append(int(self.rng.choice(unvisited)))
+        return selected
+
+    def update(self, observed_idx, observed_y):
+        super().update(observed_idx, observed_y)
+        self.queue = [n for n in self.queue if n not in self.visited]
+
+
+class DFS(BFS):
+    """LIFO variant (reference bo_utils.py:98-157): pop from the end."""
+
+    def select_next_points(self, observed_idx, observed_y, batch_size=1):
+        if not self.queue:
+            self._expand_from(int(self.rng.choice(observed_idx)), set())
+        self.queue = [n for n in self.queue if n not in self.visited]
+        selected: List[int] = []
+        while len(selected) < batch_size:
+            if not self.queue:
+                self._expand_from(int(self.rng.choice(observed_idx)), set(selected))
+            if self.queue:
+                selected.append(self.queue.pop())
+            else:
+                unvisited = list(set(range(self.n_nodes)) - self.visited - set(selected))
+                if not unvisited:
+                    break
+                selected.append(int(self.rng.choice(unvisited)))
+        return selected
+
+
+class GreedySearch(_TraversalBase):
+    """Expand neighborhoods of the best observed nodes (reference
+    bo_utils.py:159-211)."""
+
+    def __init__(self, adjacency_csr, n_nodes, rng):
+        super().__init__(adjacency_csr, n_nodes, rng)
+        self.frontier: set = set()
+
+    def select_next_points(self, observed_idx, observed_y, batch_size=1):
+        observed_idx = np.asarray(observed_idx).astype(int)
+        observed_y = np.asarray(observed_y)
+        if not self.frontier:
+            best = int(observed_idx[np.argmax(observed_y)])
+            self.frontier.update(
+                n for n in self._neighbors(best) if n not in self.visited
+            )
+        self.frontier -= self.visited
+        if len(self.frontier) < batch_size:
+            for ix in np.argsort(observed_y)[-3:]:
+                node = int(observed_idx[ix])
+                self.frontier.update(
+                    n for n in self._neighbors(node) if n not in self.visited
+                )
+        self.frontier -= self.visited
+        if self.frontier:
+            selected = sorted(self.frontier)[:batch_size]
+            self.frontier -= set(selected)
+            return list(selected)
+        unvisited = list(set(range(self.n_nodes)) - self.visited)
+        pool = unvisited if unvisited else list(range(self.n_nodes))
+        take = min(batch_size, len(pool))
+        return self.rng.choice(pool, size=take, replace=False).tolist()
+
+    def update(self, observed_idx, observed_y):
+        super().update(observed_idx, observed_y)
+        self.frontier -= self.visited
+
+
+class GRFThompson(Algorithm):
+    """GRF-GP Thompson sampling via pathwise conditioning on TPU.
+
+    Reference SparseGRF (bo_utils.py:213-291): retrain the GP every
+    ``retrain_interval`` new observations (Adam × train_epochs), then draw one
+    posterior sample over the *unvisited* nodes and pick the top-k.
+    """
+
+    def __init__(
+        self,
+        features,
+        n_nodes: int,
+        rng: np.random.Generator,
+        *,
+        kind: str = "free",
+        learning_rate: float = 0.1,
+        train_epochs: int = 50,
+        retrain_interval: int = 10,
+        settings=None,
+        jax_seed: int = 0,
+    ):
+        super().__init__(n_nodes, rng)
+        import jax
+
+        from ..gp import iterative
+
+        self.features = features
+        self.kind = kind
+        self.learning_rate = learning_rate
+        self.train_epochs = train_epochs
+        self.retrain_interval = retrain_interval
+        self.settings = settings or iterative.CGSettings()
+        self.visited: set = set()
+        self.cached_params = None
+        self.last_training_size = 0
+        self._key = jax.random.PRNGKey(jax_seed)
+
+    def _next_key(self):
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _should_retrain(self, current_size: int) -> bool:
+        return (
+            self.cached_params is None
+            or self.retrain_interval == 0
+            or (current_size - self.last_training_size) >= self.retrain_interval
+        )
+
+    def select_next_points(self, observed_idx, observed_y, batch_size=1):
+        import jax.numpy as jnp
+
+        from ..gp import iterative
+
+        observed_idx = np.asarray(observed_idx).astype(np.int32)
+        observed_y = np.asarray(observed_y, dtype=np.float32)
+        train_idx = jnp.asarray(observed_idx)
+        y = jnp.asarray(observed_y)
+
+        if self._should_retrain(observed_idx.size):
+            res = iterative.fit(
+                self.features,
+                train_idx,
+                y,
+                kind=self.kind,
+                key=self._next_key(),
+                init=self.cached_params,
+                learning_rate=self.learning_rate,
+                num_steps=self.train_epochs,
+                settings=self.settings,
+            )
+            self.cached_params = res.params
+            self.last_training_size = observed_idx.size
+
+        unvisited = np.setdiff1d(
+            np.arange(self.n_nodes, dtype=np.int32), observed_idx, assume_unique=False
+        )
+        sample = iterative.pathwise_predict(
+            self.features,
+            self.cached_params,
+            train_idx,
+            y,
+            jnp.asarray(unvisited),
+            self._next_key(),
+            kind=self.kind,
+            num_samples=1,
+            settings=self.settings,
+        )[0]
+        take = min(batch_size, unvisited.size)
+        top = np.asarray(jnp.argsort(-sample))[:take]
+        return unvisited[top].tolist()
+
+    def update(self, observed_idx, observed_y):
+        self.visited.update(int(i) for i in observed_idx)

@@ -1,0 +1,110 @@
+"""Ablation study: principled GRF load update vs ad-hoc ``load = weight``.
+
+Re-design of reference ``ablation_study.py`` (experiments/dense/ablation/
+ablation_study.py:22-245): 30×30 mesh, field sampled from the exact diffusion
+kernel (β=10, noise 0.5), GP regression with exact MLL fitting, sweep
+walks_per_node × seeds × {principled, ablation}, NLPD/RMSE per cell → CSV.
+(The reference runs each seed in a subprocess to contain TF memory leaks —
+unnecessary under JAX, SURVEY §2.4 P4.)
+
+Usage:
+    python -m graphgp_tpu.cli.ablation --walks 10 100 --seeds 2
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Dict, List
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mesh-side", type=int, default=30)
+    p.add_argument("--beta", type=float, default=10.0)
+    p.add_argument("--noise-std", type=float, default=0.5)
+    p.add_argument("--walks", type=int, nargs="+", default=[1, 10, 100, 1000])
+    p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--p-halt", type=float, default=0.01)
+    p.add_argument("--max-walk-length", type=int, default=10)
+    p.add_argument("--train-steps", type=int, default=200)
+    p.add_argument("--train-frac", type=float, default=0.5)
+    p.add_argument("--results-dir", default="artifacts/results")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import WalkConfig, diffusion_kernel, pack_laplacian
+    from ..data.synthetic import _grid_adjacency
+    from ..features import DenseFeatures
+    from ..gp import exact
+    from ..graphs import pack_dense
+    from ..utils.io import print_summary, save_results
+    from ..walker import sample_dense_step_matrices
+
+    n = args.mesh_side**2
+    adj = _grid_adjacency(args.mesh_side).toarray()
+    # Ground-truth field synthesis in float64 on host: at beta=10 the heat
+    # kernel's spectrum spans ~e^-20, and f32 eigh noise makes K indefinite.
+    deg = adj.sum(axis=1)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0)), 0.0)
+    lap = np.eye(n) - adj * dinv[:, None] * dinv[None, :]
+    evals, evecs = np.linalg.eigh(lap)
+    k_true = (evecs * np.exp(-args.beta * evals)) @ evecs.T
+    records: List[Dict] = []
+
+    for seed in range(args.seeds):
+        rng = np.random.default_rng(seed)
+        chol = np.linalg.cholesky(k_true + 1e-6 * np.eye(n))
+        f_true = chol @ rng.normal(size=n)
+        y_all = (f_true + args.noise_std * rng.normal(size=n)).astype(np.float32)
+        perm = rng.permutation(n)
+        n_tr = int(n * args.train_frac)
+        tr = jnp.asarray(np.sort(perm[:n_tr]), jnp.int32)
+        te = jnp.asarray(np.sort(perm[n_tr:]), jnp.int32)
+        y = jnp.asarray(y_all)
+
+        for wpn in args.walks:
+            for ablation in (False, True):
+                cfg = WalkConfig(
+                    walks_per_node=wpn,
+                    p_halt=args.p_halt,
+                    max_walk_length=args.max_walk_length,
+                    ablation=ablation,
+                )
+                graph = (
+                    pack_dense(adj) if ablation else pack_laplacian(adj)
+                )
+                mats = sample_dense_step_matrices(
+                    graph, jax.random.PRNGKey(42 + seed), cfg
+                )
+                feats = DenseFeatures(mats)
+                res = exact.fit(
+                    feats, tr, y[tr], kind="free",
+                    key=jax.random.PRNGKey(seed),
+                    num_steps=args.train_steps, learning_rate=0.05,
+                )
+                post = exact.predict(feats, res.params, tr, y[tr], te, kind="free")
+                rec = {
+                    "seed": seed,
+                    "walks_per_node": wpn,
+                    "mode": "ablation" if ablation else "principled",
+                    "rmse": float(exact.rmse(post, jnp.asarray(f_true)[te])),
+                    "nlpd": float(exact.nlpd(post, res.params, y[te])),
+                    "final_loss": float(res.losses[-1]),
+                }
+                records.append(rec)
+                print(
+                    f"seed={seed} wpn={wpn} {rec['mode']:>10}: "
+                    f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f}"
+                )
+
+    path = save_results(records, args.results_dir, "ablation", config=vars(args))
+    print_summary(records, ["mode", "walks_per_node"], ["rmse", "nlpd"])
+    print(f"results -> {path}")
+    return records
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Bayesian-optimization driver: algorithm sweep × seed sweep on synthetic
+graphs or loaded datasets.
+
+Re-design of reference ``run_bo.py`` / ``run_graph_bo.py``
+(experiments/sparse/scalable_bo/run_bo.py:17-194, experiments/graph_bo/
+scripts/run_graph_bo.py:39-191): per-dataset step-matrix cache, target
+gaussianization, algorithm × seed sweep, combined CSV results.
+
+Usage:
+    python -m graphgp_tpu.cli.bo --graph-type grid --n-nodes 1024 \
+        --algorithms random_search bfs grf_thompson --iterations 20
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Dict, List
+
+import numpy as np
+
+
+def gaussianize(y: np.ndarray) -> np.ndarray:
+    """Rank-based inverse-normal transform of the targets (reference
+    run_graph_bo.py:57 normalizes targets before BO)."""
+    from scipy import stats
+
+    ranks = stats.rankdata(y)
+    return stats.norm.ppf(ranks / (len(y) + 1)).astype(np.float32)
+
+
+def make_algorithm(name, data, feats, args, rng):
+    from ..bo import BFS, DFS, GreedySearch, GRFThompson, RandomSearch
+    from ..gp import iterative
+
+    n = data["y_observed"].shape[0]
+    if name == "random_search":
+        return RandomSearch(n, rng)
+    if name == "bfs":
+        return BFS(data["adjacency"], n, rng)
+    if name == "dfs":
+        return DFS(data["adjacency"], n, rng)
+    if name == "greedy_search":
+        return GreedySearch(data["adjacency"], n, rng)
+    if name == "grf_thompson":
+        return GRFThompson(
+            feats,
+            n,
+            rng,
+            kind=args.kernel_kind,
+            learning_rate=args.learning_rate,
+            train_epochs=args.train_epochs,
+            retrain_interval=args.gp_retrain_interval,
+            settings=iterative.CGSettings(cg_tol=args.cg_tol, cg_max_iters=100),
+        )
+    raise ValueError(f"unknown algorithm {name!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--graph-type", default="grid",
+                   help="synthetic generator name or dataset name")
+    p.add_argument("--n-nodes", type=int, default=1024)
+    p.add_argument(
+        "--algorithms", nargs="+",
+        default=["random_search", "bfs", "dfs", "greedy_search", "grf_thompson"],
+    )
+    p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--initial-points", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--walks-per-node", type=int, default=1000)
+    p.add_argument("--p-halt", type=float, default=0.1)
+    p.add_argument("--max-walk-length", type=int, default=5)
+    p.add_argument("--kernel-kind", default="free")
+    p.add_argument("--learning-rate", type=float, default=0.1)
+    p.add_argument("--train-epochs", type=int, default=30)
+    p.add_argument("--gp-retrain-interval", type=int, default=10)
+    p.add_argument("--cg-tol", type=float, default=1e-2)
+    p.add_argument("--gaussianize", action="store_true")
+    p.add_argument("--results-dir", default="artifacts/results")
+    p.add_argument("--cache-dir", default="artifacts/step_matrices")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    from .. import WalkConfig
+    from ..bo import run_optimization
+    from ..data import synthetic
+    from ..preprocessor import preprocess_graph
+    from ..utils.io import print_summary, save_results
+
+    if args.graph_type in synthetic.GENERATORS:
+        data = synthetic.generate(args.graph_type, args.n_nodes, seed=args.seed)
+    else:
+        from ..data.database import GraphDataLoader
+
+        loader = GraphDataLoader()
+        if args.graph_type not in loader.registry:
+            raise SystemExit(
+                f"unknown --graph-type {args.graph_type!r}; synthetic "
+                f"generators: {sorted(synthetic.GENERATORS)}; datasets: "
+                f"{loader.available()}"
+            )
+        data = loader(args.graph_type)
+
+    objective = data["y_observed"].astype(np.float32)
+    if args.gaussianize:
+        objective = gaussianize(objective)
+
+    needs_gp = any(a == "grf_thompson" for a in args.algorithms)
+    feats = None
+    if needs_gp:
+        cfg = WalkConfig(
+            walks_per_node=args.walks_per_node,
+            p_halt=args.p_halt,
+            max_walk_length=args.max_walk_length,
+        )
+        feats = preprocess_graph(
+            data["adjacency"], cfg, seed=args.seed, cache_dir=args.cache_dir
+        )
+
+    all_records: List[Dict] = []
+    seeds = [100 + 10 * i for i in range(args.runs)]
+    for algo_name in args.algorithms:
+        for seed in seeds:
+            rng = np.random.default_rng(seed)
+            algo = make_algorithm(algo_name, data, feats, args, rng)
+            print(f"== {algo_name} seed={seed} ==")
+            result = run_optimization(
+                algo,
+                objective,
+                n_iterations=args.iterations,
+                initial_points=args.initial_points,
+                batch_size=args.batch_size,
+                seed=seed,
+            )
+            for rec in result.records:
+                rec.update(
+                    {"algorithm": algo_name, "seed": seed,
+                     "graph_type": args.graph_type, "n_nodes": objective.shape[0]}
+                )
+            all_records.extend(result.records)
+            print(
+                f"   final best={result.records[-1]['best_value']:.4f} "
+                f"regret={result.records[-1]['regret']:.4f}"
+            )
+
+    path = save_results(all_records, args.results_dir, "bo", config=vars(args))
+    final = [r for r in all_records if r["iteration"] == args.iterations]
+    print_summary(final, ["algorithm"], ["best_value", "regret"])
+    print(f"results -> {path}")
+    return all_records
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""Unified real-dataset loader with two-tier (memory + disk) caching.
+
+Re-design of the reference ``GraphDataLoader`` (experiments/graph_bo/data/
+database.py:12-457): same dataset registry (SNAP social edge lists, ERA5 wind
+npz, synthetic-field npz), same ``(adjacency_csr, node_ids, targets)``
+contract, same degree-target convention for social graphs — but built on
+scipy directly (no NetworkX round-trip: edge lists are vectorized into CSR
+with dense-rank node relabeling) and cached as npz instead of pickles.
+
+This container has zero network egress, so downloads are impossible: loaders
+read files under ``data_root`` and raise a clear FileNotFoundError naming the
+expected file when absent. Synthetic npz files use the reference's CSR-triplet
+layout (database.py:320-371: A_data/A_indices/A_indptr/A_shape + X + y).
+"""
+from __future__ import annotations
+
+import gzip
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+Arrays = Tuple[sp.csr_matrix, np.ndarray, np.ndarray]
+
+
+def edges_to_csr(u: np.ndarray, v: np.ndarray) -> Tuple[sp.csr_matrix, np.ndarray]:
+    """Undirected simple graph from raw edge endpoint arrays.
+
+    Node ids are dense-ranked (original ids → 0..N-1, sorted order), matching
+    the reference's NetworkX relabeling semantics up to node order. Returns
+    (adjacency, original_node_ids)."""
+    uv = np.stack([np.asarray(u), np.asarray(v)])
+    nodes, flat = np.unique(uv, return_inverse=True)
+    ui, vi = flat.reshape(2, -1)
+    keep = ui != vi  # drop self-loops
+    ui, vi = ui[keep], vi[keep]
+    n = nodes.size
+    adj = sp.coo_matrix(
+        (np.ones(ui.size * 2), (np.concatenate([ui, vi]), np.concatenate([vi, ui]))),
+        shape=(n, n),
+    ).tocsr()
+    adj.data[:] = 1.0  # collapse multi-edges
+    return adj, nodes
+
+
+def _degree_targets(adj: sp.csr_matrix) -> np.ndarray:
+    """Social-network target = node degree (reference database.py:212-214)."""
+    return np.asarray(adj.sum(axis=1)).ravel().astype(np.float32)
+
+
+def _load_edge_csv(path: str, src_col: str, dst_col: str) -> Arrays:
+    import pandas as pd
+
+    df = pd.read_csv(path)
+    adj, _ = edges_to_csr(df[src_col].to_numpy(), df[dst_col].to_numpy())
+    return adj, np.arange(adj.shape[0]), _degree_targets(adj)
+
+
+def _load_edge_txt_gz(path: str) -> Arrays:
+    us, vs = [], []
+    with gzip.open(path, "rt") as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            a, b = line.split()
+            us.append(int(a))
+            vs.append(int(b))
+    adj, _ = edges_to_csr(np.asarray(us), np.asarray(vs))
+    return adj, np.arange(adj.shape[0]), _degree_targets(adj)
+
+
+def _load_csr_npz(path: str) -> Arrays:
+    """Reference npz CSR-triplet layout (database.py:320-330)."""
+    with np.load(path, allow_pickle=True) as data:
+        adj = sp.csr_matrix(
+            (data["A_data"], data["A_indices"], data["A_indptr"]),
+            shape=tuple(data["A_shape"]),
+        )
+        return adj, np.asarray(data["X"]), np.asarray(data["y"])
+
+
+class GraphDataLoader:
+    """callable: ``loader(name) -> {'adjacency', 'node_ids', 'y_observed', ...}``."""
+
+    def __init__(self, data_root: str = "raw_data", cache_dir: Optional[str] = None):
+        self.data_root = data_root
+        self.cache_dir = cache_dir or "processed_data"
+        self._memory_cache: Dict[str, Dict] = {}
+        os.makedirs(self.cache_dir, exist_ok=True)
+
+        # name -> (relative path, loader) — registry mirrors reference
+        # database.py:37-126.
+        self.registry: Dict[str, Tuple[str, Callable[[str], Arrays]]] = {
+            "facebook": (
+                "social_networks/facebook/facebook_large/musae_facebook_edges.csv",
+                lambda p: _load_edge_csv(p, "id_1", "id_2"),
+            ),
+            "twitch": (
+                "social_networks/twitch/large_twitch_edges.csv",
+                lambda p: _load_edge_csv(p, "numeric_id_1", "numeric_id_2"),
+            ),
+            "youtube": (
+                "social_networks/youtube/com-youtube.ungraph.txt.gz",
+                _load_edge_txt_gz,
+            ),
+            "enron": (
+                "social_networks/enron/email-Enron.txt.gz",
+                _load_edge_txt_gz,
+            ),
+        }
+        for level in ["500hpa", "800hpa", "1000hpa"]:
+            for wide in ["", "_wide"]:
+                name = level + wide
+                sub = level.replace("hpa", "hPa") + wide
+                self.registry[name] = (
+                    f"wind_interpolation/{sub}/wind_data_processed_{sub}.npz",
+                    _load_csr_npz,
+                )
+        for name, sub, fname in [
+            ("single_modal", "single_modal", "synthetic_single_modal_1000x1000.npz"),
+            ("multi_modal", "multi-modal", "synthetic_multimodal_1000x1000.npz"),
+            ("bimodal", "bimodal", "synthetic_bimodal_100x100.npz"),
+            ("community", "community", "synthetic_community_10k.npz"),
+            ("circular", "circular", "synthetic_circular_10k.npz"),
+        ]:
+            self.registry[name] = (f"synthetic/{sub}/{fname}", _load_csr_npz)
+
+    def available(self):
+        return sorted(self.registry)
+
+    def _cache_path(self, name: str) -> str:
+        return os.path.join(self.cache_dir, f"{name}.npz")
+
+    def __call__(self, name: str, force_reload: bool = False) -> Dict:
+        if name not in self.registry:
+            raise ValueError(
+                f"unknown dataset {name!r}; available: {self.available()}"
+            )
+        if not force_reload and name in self._memory_cache:
+            return self._memory_cache[name]
+
+        cache_path = self._cache_path(name)
+        if not force_reload and os.path.exists(cache_path):
+            adj, node_ids, y = _load_csr_npz(cache_path)
+        else:
+            rel, loader = self.registry[name]
+            path = os.path.join(self.data_root, rel)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"dataset file for {name!r} not found: {path} — this "
+                    "environment has no network egress; place the raw file "
+                    "there manually (see reference load_data notebooks for "
+                    "provenance)."
+                )
+            adj, node_ids, y = loader(path)
+            np.savez_compressed(
+                cache_path,
+                A_data=adj.data,
+                A_indices=adj.indices,
+                A_indptr=adj.indptr,
+                A_shape=np.asarray(adj.shape),
+                X=node_ids,
+                y=y,
+            )
+
+        out = {
+            "adjacency": adj,
+            "node_ids": np.asarray(node_ids),
+            "y_observed": np.asarray(y, dtype=np.float32),
+            "y_true": np.asarray(y, dtype=np.float32),
+        }
+        self._memory_cache[name] = out
+        return out
+
+
+def load_cora(data_dir: str, num_train: int = 1988, num_test: int = 497, seed: int = 0):
+    """Cora citation graph: largest connected component, 7-class labels.
+
+    Functional port of reference ``load_cora`` (experiments/dense/cora/
+    cora_utils/preprocessing.py:14-68) minus its absolute scratch path and
+    NetworkX pipeline: expects ``cora.cites`` / ``cora.content`` under
+    ``data_dir``. Returns (adjacency_csr, labels, train_idx, test_idx)."""
+    import pandas as pd
+
+    cites = pd.read_csv(
+        os.path.join(data_dir, "cora.cites"), sep="\t", header=None,
+        names=["target", "source"],
+    )
+    adj_all, nodes = edges_to_csr(
+        cites["source"].to_numpy(), cites["target"].to_numpy()
+    )
+
+    # largest connected component
+    ncomp, comp = sp.csgraph.connected_components(adj_all, directed=False)
+    largest = np.argmax(np.bincount(comp))
+    keep = np.flatnonzero(comp == largest)
+    adj = adj_all[keep][:, keep].tocsr()
+    kept_nodes = nodes[keep]
+
+    content = pd.read_csv(
+        os.path.join(data_dir, "cora.content"), sep="\t", header=None, index_col=0
+    )
+    subjects = content.iloc[:, -1]
+    classes = {c: i for i, c in enumerate(sorted(subjects.unique()))}
+    labels = np.zeros(keep.size, dtype=np.int32)
+    subject_by_node = subjects.to_dict()
+    for i, node in enumerate(kept_nodes):
+        if node in subject_by_node:
+            labels[i] = classes[subject_by_node[node]]
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(keep.size)
+    train_idx = np.sort(perm[:num_train]).astype(np.int32)
+    test_idx = np.sort(perm[num_train : num_train + num_test]).astype(np.int32)
+    return adj, labels, train_idx, test_idx

@@ -1,0 +1,97 @@
+"""Graph preprocessing service: Laplacian → walks → features, with a
+content-addressed disk cache.
+
+TPU-native re-design of the reference ``GraphPreprocessor``
+(efficient_graph_gp_sparse/preprocessor/graph_preprocessor.py:10-165): cache
+files keyed by md5(adjacency bytes) + walk parameters (reference
+_generate_cache_filename, :75-83), stored as npz of the consolidated ELL step
+matrices (instead of pickled scipy CSR lists), so re-running any driver skips
+completed sampling — the checkpoint/resume story of SURVEY §5.4.
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import os
+from typing import Optional, Union
+
+import jax
+import numpy as np
+
+from .features import EllFeatures, EllStepMatrices, consolidate, suggest_row_capacity
+from .graphs import PackedGraph, pack_laplacian
+from .walker import WalkConfig, WalkLog, sample_walk_log
+
+
+def _cache_key(adjacency, cfg: WalkConfig, seed: int) -> str:
+    import scipy.sparse as sp
+
+    h = hashlib.md5()
+    if sp.issparse(adjacency):
+        csr = adjacency.tocsr()
+        h.update(csr.indptr.tobytes())
+        h.update(csr.indices.tobytes())
+        h.update(np.asarray(csr.data, dtype=np.float64).tobytes())
+    else:
+        h.update(np.ascontiguousarray(adjacency, dtype=np.float64).tobytes())
+    h.update(
+        f"w{cfg.walks_per_node}_p{cfg.p_halt}_l{cfg.max_walk_length}"
+        f"_a{cfg.ablation}_s{seed}".encode()
+    )
+    return h.hexdigest()
+
+
+def save_step_matrices(path: str, mats: EllStepMatrices) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(
+        path,
+        cols=np.asarray(mats.cols),
+        vals=np.asarray(mats.vals),
+        num_target_nodes=mats.num_target_nodes,
+    )
+
+
+def load_step_matrices(path: str) -> EllStepMatrices:
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        return EllStepMatrices(
+            cols=jnp.asarray(z["cols"]),
+            vals=jnp.asarray(z["vals"]),
+            num_target_nodes=int(z["num_target_nodes"]),
+        )
+
+
+def preprocess_graph(
+    adjacency,
+    cfg: WalkConfig,
+    *,
+    seed: int = 42,
+    cache_dir: Optional[str] = None,
+    mesh=None,
+) -> EllFeatures:
+    """Adjacency → normalized Laplacian → sharded/unsharded walks →
+    consolidated ELL step matrices, cached on disk.
+
+    Equivalent of reference ``GraphPreprocessor.preprocess_graph``
+    (graph_preprocessor.py:85-115) with the pickle cache replaced by npz.
+    """
+    if cache_dir is not None:
+        path = os.path.join(cache_dir, f"step_matrices_{_cache_key(adjacency, cfg, seed)}.npz")
+        if os.path.exists(path):
+            return EllFeatures(load_step_matrices(path))
+
+    graph = pack_laplacian(adjacency)
+    key = jax.random.PRNGKey(seed)
+    if mesh is not None:
+        from .shard import sharded_walk_log
+
+        log = sharded_walk_log(graph, key, cfg, mesh)
+    else:
+        log = sample_walk_log(graph, key, cfg)
+    cap = suggest_row_capacity(log)
+    mats = consolidate(log, cap, walks_per_node=cfg.walks_per_node)
+
+    if cache_dir is not None:
+        save_step_matrices(path, mats)
+    return EllFeatures(mats)

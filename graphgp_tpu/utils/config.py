@@ -1,0 +1,120 @@
+"""One config layer for library + drivers: dataclass with YAML loading.
+
+Unifies the reference's three coexisting config styles (SURVEY §5.6: argparse
+flags, JSON Config class, YAML→flattened-dict→dataclass at
+experiments/graph_bo/utils/config_loader.py:6-120) into a single dataclass
+whose fields cover all drivers. Nested YAML sections are flattened; unknown
+keys error loudly instead of being silently dropped.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class ExperimentConfig:
+    """Shared experiment configuration (superset of the reference's fields,
+    config_loader.py:6-58)."""
+
+    # experiment selection
+    datasets: List[str] = field(default_factory=lambda: ["ring"])
+    algorithms: List[str] = field(
+        default_factory=lambda: ["random_search", "bfs", "grf_thompson"]
+    )
+
+    # BO parameters
+    iterations: int = 10
+    runs: int = 3
+    initial_points: int = 100
+    batch_size: int = 50
+    seeds: List[int] = field(default_factory=list)
+
+    # graph / GRF parameters
+    n_nodes: int = 1024
+    graph_type: str = "ring"
+    walks_per_node: int = 1000
+    p_halt: float = 0.1
+    max_walk_length: int = 3
+    kernel_kind: str = "free"  # 'free' | 'diffusion'
+
+    # training parameters
+    learning_rate: float = 0.01
+    train_epochs: int = 30
+    gp_retrain_interval: int = 300
+    cg_tol: float = 1e-2
+    cg_max_iters: int = 100
+    num_probes: int = 16
+    num_pathwise_samples: int = 64
+
+    # directories
+    step_matrices_dir: str = "artifacts/step_matrices"
+    results_dir: str = "artifacts/results"
+
+    # seeds
+    random_walk_seed: int = 42
+
+    def __post_init__(self):
+        if len(self.seeds) != self.runs:
+            # reference convention: seeds 100, 110, 120, ... (config_loader.py:44)
+            self.seeds = [100 + 10 * i for i in range(self.runs)]
+        os.makedirs(self.step_matrices_dir, exist_ok=True)
+        os.makedirs(self.results_dir, exist_ok=True)
+
+
+# YAML section → dataclass-field mapping. Fields may appear at top level or
+# under their section header.
+_SECTIONS = {
+    "bo_parameters": [
+        "iterations", "runs", "initial_points", "batch_size", "seeds",
+    ],
+    "grf_parameters": [
+        "walks_per_node", "p_halt", "max_walk_length", "kernel_kind",
+        "n_nodes", "graph_type",
+    ],
+    "training_parameters": [
+        "learning_rate", "train_epochs", "gp_retrain_interval", "cg_tol",
+        "cg_max_iters", "num_probes", "num_pathwise_samples",
+    ],
+    "directories": {"step_matrices": "step_matrices_dir", "results": "results_dir"},
+    "random_seeds": ["random_walk_seed"],
+}
+
+
+def load_config_from_yaml(path: str) -> ExperimentConfig:
+    import yaml
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"configuration file not found: {path}")
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+
+    known_fields = {f.name for f in dataclasses.fields(ExperimentConfig)}
+    out: Dict[str, Any] = {}
+
+    for key, value in raw.items():
+        if key in _SECTIONS:
+            spec = _SECTIONS[key]
+            if isinstance(spec, dict):
+                for yk, fk in spec.items():
+                    if yk in value:
+                        out[fk] = value[yk]
+                extra = set(value) - set(spec)
+            else:
+                for fk in spec:
+                    if fk in value:
+                        out[fk] = value[fk]
+                extra = set(value) - set(spec)
+            if extra:
+                raise ValueError(f"unknown keys {sorted(extra)} in section {key!r}")
+        elif key in known_fields:
+            out[key] = value
+        else:
+            raise ValueError(f"unknown config key {key!r}")
+    return ExperimentConfig(**out)
+
+
+def to_dict(cfg: ExperimentConfig) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,92 @@
+"""Dataset-loader tests with locally fabricated raw files (no egress)."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphgp_tpu.data.database import GraphDataLoader, edges_to_csr, load_cora
+
+
+def test_edges_to_csr_dedup_and_relabel():
+    u = np.array([10, 20, 10, 30, 30])
+    v = np.array([20, 10, 10, 40, 40])  # includes dup edge + self-loop
+    adj, nodes = edges_to_csr(u, v)
+    assert adj.shape == (4, 4)
+    np.testing.assert_array_equal(nodes, [10, 20, 30, 40])
+    assert adj[0, 1] == 1.0 and adj[1, 0] == 1.0  # deduped both directions
+    assert adj.diagonal().max() == 0  # self-loop dropped
+    assert adj[2, 3] == 1.0  # multi-edge collapsed to 1
+
+
+def test_loader_facebook_style(tmp_path):
+    raw = tmp_path / "raw_data" / "social_networks" / "facebook" / "facebook_large"
+    raw.mkdir(parents=True)
+    import pandas as pd
+
+    pd.DataFrame({"id_1": [0, 1, 2, 3], "id_2": [1, 2, 3, 0]}).to_csv(
+        raw / "musae_facebook_edges.csv", index=False
+    )
+    loader = GraphDataLoader(
+        data_root=str(tmp_path / "raw_data"), cache_dir=str(tmp_path / "cache")
+    )
+    d = loader("facebook")
+    assert d["adjacency"].shape == (4, 4)
+    np.testing.assert_array_equal(d["y_observed"], [2, 2, 2, 2])  # degrees
+    # disk cache created; second call from memory, third from fresh loader/disk
+    assert (tmp_path / "cache" / "facebook.npz").exists()
+    d2 = GraphDataLoader(
+        data_root=str(tmp_path / "raw_data"), cache_dir=str(tmp_path / "cache")
+    )("facebook")
+    np.testing.assert_array_equal(
+        d["adjacency"].toarray(), d2["adjacency"].toarray()
+    )
+
+
+def test_loader_gz_and_npz(tmp_path):
+    root = tmp_path / "raw_data"
+    enron_dir = root / "social_networks" / "enron"
+    enron_dir.mkdir(parents=True)
+    with gzip.open(enron_dir / "email-Enron.txt.gz", "wt") as f:
+        f.write("# comment\n0 1\n1 2\n2 0\n")
+    wind_dir = root / "wind_interpolation" / "500hPa"
+    wind_dir.mkdir(parents=True)
+    adj = sp.csr_matrix(np.array([[0, 1.0], [1.0, 0]]))
+    np.savez(
+        wind_dir / "wind_data_processed_500hPa.npz",
+        A_data=adj.data, A_indices=adj.indices, A_indptr=adj.indptr,
+        A_shape=np.asarray(adj.shape), X=np.arange(2), y=np.array([1.5, 2.5]),
+    )
+    loader = GraphDataLoader(data_root=str(root), cache_dir=str(tmp_path / "c"))
+    e = loader("enron")
+    assert e["adjacency"].shape == (3, 3)
+    w = loader("500hpa")
+    np.testing.assert_allclose(w["y_observed"], [1.5, 2.5])
+
+
+def test_loader_missing_file_error(tmp_path):
+    loader = GraphDataLoader(data_root=str(tmp_path), cache_dir=str(tmp_path / "c"))
+    with pytest.raises(FileNotFoundError, match="facebook"):
+        loader("facebook")
+    with pytest.raises(ValueError, match="unknown dataset"):
+        loader("not_a_dataset")
+
+
+def test_load_cora_fabricated(tmp_path):
+    """Two components; largest kept; labels mapped to class ids."""
+    d = tmp_path / "cora"
+    d.mkdir()
+    # component A: papers 1-4 in a cycle; component B: 10-11
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (10, 11)]
+    with open(d / "cora.cites", "w") as f:
+        for a, b in edges:
+            f.write(f"{a}\t{b}\n")
+    with open(d / "cora.content", "w") as f:
+        for paper, subj in [(1, "AI"), (2, "ML"), (3, "AI"), (4, "DB"), (10, "AI")]:
+            f.write(f"{paper}\tfeat\t{subj}\n")
+    adj, labels, tr, te = load_cora(str(d), num_train=2, num_test=2, seed=0)
+    assert adj.shape == (4, 4)
+    assert set(labels.tolist()) <= {0, 1, 2}
+    assert tr.size == 2 and te.size == 2
+    assert len(set(tr.tolist()) & set(te.tolist())) == 0

@@ -1,0 +1,168 @@
+"""Workload-layer tests: synthetic generators, BO loop, CLI drivers,
+preprocessor cache, config."""
+import os
+
+import numpy as np
+import pytest
+
+from graphgp_tpu.data import synthetic
+
+
+def test_generators_shapes():
+    for name in synthetic.GENERATORS:
+        n = 256 if name not in ("ring", "circle") else 100
+        d = synthetic.generate(name, n, seed=0)
+        assert d["adjacency"].shape == (n, n)
+        assert d["y_true"].shape == (n,)
+        assert d["y_observed"].shape == (n,)
+        # symmetric, no self-loops
+        diff = (d["adjacency"] - d["adjacency"].T).toarray()
+        assert np.abs(diff).max() == 0
+        assert d["adjacency"].diagonal().max() == 0
+
+
+def test_generator_bad_inputs():
+    with pytest.raises(ValueError):
+        synthetic.generate("grid", 1000)  # not a perfect square
+    with pytest.raises(ValueError):
+        synthetic.generate("nope", 100)
+
+
+def test_bo_traversal_algorithms():
+    from graphgp_tpu.bo import BFS, DFS, GreedySearch, RandomSearch, run_optimization
+
+    d = synthetic.generate("grid", 256, seed=1)
+    for cls in (RandomSearch, BFS, DFS, GreedySearch):
+        rng = np.random.default_rng(0)
+        if cls is RandomSearch:
+            algo = cls(256, rng)
+        else:
+            algo = cls(d["adjacency"], 256, rng)
+        res = run_optimization(
+            algo, d["y_observed"], n_iterations=8, initial_points=5,
+            batch_size=2, seed=0,
+        )
+        assert len(res.records) == 8
+        bests = res.best_values()
+        assert (np.diff(bests) >= 0).all()  # best value is monotone
+
+
+def test_bo_grf_thompson():
+    import jax
+
+    from graphgp_tpu import WalkConfig
+    from graphgp_tpu.bo import GRFThompson, run_optimization
+    from graphgp_tpu.gp import iterative
+    from graphgp_tpu.preprocessor import preprocess_graph
+
+    d = synthetic.generate("grid", 144, seed=2)
+    cfg = WalkConfig(walks_per_node=100, p_halt=0.1, max_walk_length=3)
+    feats = preprocess_graph(d["adjacency"], cfg, seed=0)
+    algo = GRFThompson(
+        feats, 144, np.random.default_rng(0), kind="free",
+        train_epochs=10, retrain_interval=5,
+        settings=iterative.CGSettings(cg_tol=1e-3, cg_max_iters=50, num_probes=4),
+    )
+    res = run_optimization(
+        algo, d["y_observed"], n_iterations=5, initial_points=10,
+        batch_size=3, seed=0,
+    )
+    assert len(res.records) == 5
+    # GP-guided search on the central-bump surface should find a good value
+    assert res.records[-1]["best_value"] > np.median(d["y_observed"])
+
+
+def test_preprocessor_cache(tmp_path):
+    from graphgp_tpu import WalkConfig
+    from graphgp_tpu.preprocessor import preprocess_graph
+
+    d = synthetic.generate("ring", 64, seed=0)
+    cfg = WalkConfig(walks_per_node=20, p_halt=0.2, max_walk_length=3)
+    f1 = preprocess_graph(d["adjacency"], cfg, seed=1, cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("step_matrices_*.npz"))
+    assert len(files) == 1
+    f2 = preprocess_graph(d["adjacency"], cfg, seed=1, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(f1.mats.cols), np.asarray(f2.mats.cols))
+    np.testing.assert_allclose(np.asarray(f1.mats.vals), np.asarray(f2.mats.vals))
+    # different seed → different cache entry
+    preprocess_graph(d["adjacency"], cfg, seed=2, cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("step_matrices_*.npz"))) == 2
+
+
+def test_config_yaml(tmp_path):
+    from graphgp_tpu.utils.config import ExperimentConfig, load_config_from_yaml
+
+    yml = tmp_path / "cfg.yaml"
+    yml.write_text(
+        """
+datasets: [ring]
+algorithms: [random_search, grf_thompson]
+bo_parameters:
+  iterations: 7
+  runs: 2
+grf_parameters:
+  walks_per_node: 123
+  max_walk_length: 4
+directories:
+  results: {rd}
+  step_matrices: {sd}
+""".format(rd=tmp_path / "res", sd=tmp_path / "sm")
+    )
+    cfg = load_config_from_yaml(str(yml))
+    assert cfg.iterations == 7
+    assert cfg.walks_per_node == 123
+    assert cfg.seeds == [100, 110]  # auto-generated for runs=2
+    assert os.path.isdir(cfg.results_dir)
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("bo_parameters:\n  iterationz: 3\n")
+    with pytest.raises(ValueError):
+        load_config_from_yaml(str(bad))
+
+
+def test_cli_scaling_small(tmp_path):
+    from graphgp_tpu.cli.scaling import main
+
+    records = main([
+        "--sizes", "64",
+        "--walks-per-node", "20",
+        "--train-epochs", "5",
+        "--results-dir", str(tmp_path / "res"),
+        "--cache-dir", str(tmp_path / "cache"),
+    ])
+    phases = {r["phase"] for r in records}
+    assert phases == {"rw", "iterative_gp", "exact_gp"}
+    assert (tmp_path / "res" / "scaling.csv").exists()
+
+
+def test_cli_bo_small(tmp_path):
+    from graphgp_tpu.cli.bo import main
+
+    records = main([
+        "--graph-type", "circle",
+        "--n-nodes", "100",
+        "--algorithms", "random_search", "bfs",
+        "--iterations", "4",
+        "--runs", "1",
+        "--initial-points", "5",
+        "--results-dir", str(tmp_path / "res"),
+        "--cache-dir", str(tmp_path / "cache"),
+    ])
+    assert len(records) == 2 * 4  # 2 algorithms x 4 iterations
+    assert (tmp_path / "res" / "bo.csv").exists()
+
+
+def test_cli_ablation_small(tmp_path):
+    from graphgp_tpu.cli.ablation import main
+
+    records = main([
+        "--mesh-side", "8",
+        "--walks", "10",
+        "--seeds", "1",
+        "--max-walk-length", "4",
+        "--train-steps", "20",
+        "--results-dir", str(tmp_path / "res"),
+    ])
+    assert len(records) == 2  # principled + ablation
+    modes = {r["mode"] for r in records}
+    assert modes == {"principled", "ablation"}
