@@ -9,7 +9,9 @@ TPU meshes.
 """
 
 from .graphs import (
+    CsrGraph,
     PackedGraph,
+    csr_graph,
     generate_noisy_samples,
     laplacian,
     normalized_laplacian,

@@ -87,6 +87,53 @@ class PackedGraph:
         return self.weights.dtype
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CsrGraph:
+    """CSR-packed weighted graph for skewed-degree distributions.
+
+    ELL pads every row to the max degree — catastrophic for social graphs
+    (a single 28k-degree hub would inflate the table 1000×). CSR stores
+    exactly nnz edges; the walker does two fused row gathers per step:
+
+    node_table: int32[N, 2] — [row_start, degree] per node.
+    edge_table: float32[nnz, 2] — [neighbor (as f32, exact < 2^24), weight].
+    """
+
+    node_table: jnp.ndarray
+    edge_table: jnp.ndarray
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def degree(self):
+        return self.node_table[:, 1]
+
+
+def csr_graph(csr) -> CsrGraph:
+    """Build a CsrGraph from a scipy CSR matrix (host-side)."""
+    csr = csr.tocsr()
+    csr.eliminate_zeros()
+    n = csr.shape[0]
+    if n >= (1 << 24):
+        raise ValueError(
+            "CsrGraph stores neighbor ids as f32 (exact below 2^24); "
+            f"got {n} nodes — shard the graph or extend the edge table dtype."
+        )
+    indptr = np.asarray(csr.indptr)
+    deg = np.diff(indptr).astype(np.int32)
+    node_table = np.stack([indptr[:-1].astype(np.int32), deg], axis=1)
+    edge_table = np.stack(
+        [csr.indices.astype(np.float32), csr.data.astype(np.float32)], axis=1
+    )
+    return CsrGraph(
+        node_table=jnp.asarray(node_table),
+        edge_table=jnp.asarray(edge_table),
+        num_nodes=n,
+        nnz=int(csr.indices.size),
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -139,16 +186,31 @@ def pack_csr(csr, pad_degree_to: int = 1) -> PackedGraph:
     )
 
 
-def pack_laplacian(adj, pad_degree_to: int = 1) -> PackedGraph:
-    """Normalized Laplacian of ``adj`` packed for walking (dense or CSR input)."""
+def pack_laplacian(adj, pad_degree_to: int = 1, layout: str = "auto"):
+    """Normalized Laplacian of ``adj`` packed for walking (dense or CSR input).
+
+    layout: 'ell' (fixed-width rows), 'csr' (exact nnz, for skewed degrees),
+    or 'auto' — CSR when ELL padding would waste >4x the edge memory.
+    """
     import scipy.sparse as sp
 
     if sp.issparse(adj):
-        return pack_csr(normalized_laplacian_csr(adj), pad_degree_to=pad_degree_to)
+        lap_csr = normalized_laplacian_csr(adj)
+        if layout == "csr":
+            return csr_graph(lap_csr)
+        if layout == "auto":
+            deg = np.diff(lap_csr.indptr)
+            dmax = int(deg.max(initial=1))
+            padding_waste = dmax * lap_csr.shape[0] / max(lap_csr.nnz, 1)
+            if padding_waste > 4 and lap_csr.shape[0] < (1 << 24):
+                return csr_graph(lap_csr)
+        return pack_csr(lap_csr, pad_degree_to=pad_degree_to)
     lap = np.array(normalized_laplacian(np.asarray(adj)))
     # Snap numerically-tiny entries to zero so the neighbor structure matches
     # the exact sparsity of L.
     lap[np.abs(lap) < 1e-12] = 0.0
+    if layout == "csr":
+        return csr_graph(sp.csr_matrix(lap))
     return pack_dense(lap, pad_degree_to=pad_degree_to)
 
 

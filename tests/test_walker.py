@@ -196,6 +196,48 @@ def test_sparse_csr_input(toy_cycle_csr):
     np.testing.assert_allclose(np.asarray(mats[0]), np.eye(4), atol=1e-6)
 
 
+def test_layouts_bit_identical(er_adj):
+    """Flat-ELL, packed-ELL, and CSR walk layouts produce identical logs —
+    the memory layout must never change results."""
+    import scipy.sparse as sp
+
+    from graphgp_tpu.graphs import csr_graph, normalized_laplacian_csr
+    from graphgp_tpu.walker import _lookup_ell_flat, _make_lookup
+
+    cfg = WalkConfig(walks_per_node=9, p_halt=0.15, max_walk_length=4)
+    key = jax.random.PRNGKey(8)
+
+    ell = pack_laplacian(er_adj)  # max_degree small → packed fast path
+    assert ell.max_degree <= 16  # sanity: this exercises the packed lookup
+    log_packed = sample_walk_log(ell, key, cfg)
+
+    csr = csr_graph(normalized_laplacian_csr(sp.csr_matrix(er_adj)))
+    log_csr = sample_walk_log(csr, key, cfg)
+    np.testing.assert_array_equal(np.asarray(log_packed.curs), np.asarray(log_csr.curs))
+    np.testing.assert_allclose(
+        np.asarray(log_packed.loads), np.asarray(log_csr.loads), rtol=1e-6
+    )
+
+
+def test_auto_layout_picks_csr_for_skewed():
+    """A star graph (one hub) must auto-select CSR, not ELL."""
+    import scipy.sparse as sp
+
+    from graphgp_tpu.graphs import CsrGraph
+
+    n = 200
+    rows = np.zeros(n - 1, dtype=int)
+    cols = np.arange(1, n)
+    adj = sp.csr_matrix((np.ones(n - 1), (rows, cols)), shape=(n, n))
+    adj = adj + adj.T
+    g = pack_laplacian(adj, layout="auto")
+    assert isinstance(g, CsrGraph)
+    cfg = WalkConfig(walks_per_node=5, p_halt=0.2, max_walk_length=3)
+    log = sample_walk_log(g, jax.random.PRNGKey(0), cfg)
+    mats = dense_step_matrices(log, cfg)
+    np.testing.assert_allclose(np.asarray(mats[0]), np.eye(n), atol=1e-6)
+
+
 def test_ablation_mode(toy_cycle_adj):
     """Ablation walks the raw adjacency with load = weight (reference
     sampler.py:180-183)."""
