@@ -1,0 +1,152 @@
+"""Multiclass node classification with SVGP on GRF kernels (Cora protocol).
+
+Re-design of the reference Cora study (experiments/dense/cora/
+classification_multiple_GRF.ipynb cell 7: SVGP, MultiClass likelihood,
+inducing points = half the train node indices, whiten, Adam lr=0.003 ×1000,
+5 seeds; GRF wpn=4096, L=5, p_halt=0.1; full 80/20 and "small" 140-train
+splits; exact-diffusion kernel variant for comparison).
+
+Runs on the real Cora files when present (--cora-dir with cora.cites /
+cora.content) or on a synthetic community-structured graph otherwise.
+
+Usage:
+    python -m graphgp_tpu.cli.classification --n-nodes 400 --num-classes 4
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Dict, List
+
+import numpy as np
+
+
+def synthetic_community_graph(n_nodes, num_classes, seed, p_in=0.05, p_out=0.002):
+    """Stochastic block model with class labels = community ids."""
+    import scipy.sparse as sp
+
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, size=n_nodes).astype(np.int32)
+    rows, cols = [], []
+    # sample block-wise to stay O(E)
+    for c in range(num_classes):
+        members = np.flatnonzero(labels == c)
+        m = members.size
+        n_in = rng.binomial(m * (m - 1) // 2, p_in)
+        if n_in and m > 1:
+            a = members[rng.integers(0, m, n_in)]
+            b = members[rng.integers(0, m, n_in)]
+            rows.extend(a.tolist())
+            cols.extend(b.tolist())
+    n_out = rng.binomial(n_nodes * (n_nodes - 1) // 2, p_out)
+    a = rng.integers(0, n_nodes, n_out)
+    b = rng.integers(0, n_nodes, n_out)
+    rows.extend(a.tolist())
+    cols.extend(b.tolist())
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    keep = rows != cols
+    adj = sp.csr_matrix(
+        (np.ones(keep.sum()), (rows[keep], cols[keep])), shape=(n_nodes, n_nodes)
+    )
+    adj = adj + adj.T
+    adj.data[:] = 1.0
+    return adj.tocsr(), labels
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cora-dir", default=None,
+                   help="directory with cora.cites/cora.content (real protocol)")
+    p.add_argument("--n-nodes", type=int, default=400)
+    p.add_argument("--num-classes", type=int, default=4)
+    p.add_argument("--train-frac", type=float, default=0.8)
+    p.add_argument("--small-train", type=int, default=0,
+                   help="if >0, use this many train nodes (the 140-train 'small' split)")
+    p.add_argument("--walks-per-node", type=int, default=1024)
+    p.add_argument("--p-halt", type=float, default=0.1)
+    p.add_argument("--max-walk-length", type=int, default=5)
+    p.add_argument("--kernel-kind", default="free", choices=["free", "diffusion"])
+    p.add_argument("--learning-rate", type=float, default=3e-3)
+    p.add_argument("--num-steps", type=int, default=1000)
+    p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--results-dir", default="artifacts/results")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from .. import WalkConfig, pack_laplacian
+    from ..features import DenseFeatures
+    from ..gp import svgp
+    from ..utils.io import print_summary, save_results
+    from ..walker import sample_dense_step_matrices
+
+    records: List[Dict] = []
+    for seed in range(args.seeds):
+        if args.cora_dir:
+            from ..data.database import load_cora
+
+            adj, labels, tr_np, te_np = load_cora(args.cora_dir, seed=seed)
+            n = adj.shape[0]
+            num_classes = int(labels.max()) + 1
+            if args.small_train:
+                tr_np = tr_np[: args.small_train]
+        else:
+            adj, labels = synthetic_community_graph(
+                args.n_nodes, args.num_classes, seed
+            )
+            n = args.n_nodes
+            num_classes = args.num_classes
+            rng = np.random.default_rng(seed)
+            perm = rng.permutation(n)
+            n_tr = args.small_train or int(n * args.train_frac)
+            tr_np = np.sort(perm[:n_tr])
+            te_np = np.sort(perm[n_tr:])
+
+        tr = jnp.asarray(tr_np, jnp.int32)
+        te = jnp.asarray(te_np, jnp.int32)
+        y = jnp.asarray(labels, jnp.int32)
+        # inducing points = half the train indices (reference cell 7)
+        inducing = tr[:: 2]
+
+        graph = pack_laplacian(adj)
+        cfg = WalkConfig(
+            walks_per_node=args.walks_per_node, p_halt=args.p_halt,
+            max_walk_length=args.max_walk_length,
+        )
+        mats = sample_dense_step_matrices(graph, jax.random.PRNGKey(42 + seed), cfg)
+        feats = DenseFeatures(mats)
+
+        res = svgp.fit(
+            feats, inducing, tr, y[tr],
+            num_latent=num_classes, kind=args.kernel_kind,
+            key=jax.random.PRNGKey(seed),
+            learning_rate=args.learning_rate, num_steps=args.num_steps,
+        )
+        probs = svgp.predict_class_probs(
+            feats, res.params, inducing, te, jax.random.PRNGKey(seed),
+            kind=args.kernel_kind,
+        )
+        pred = jnp.argmax(probs, -1)
+        acc = float(jnp.mean((pred == y[te]).astype(jnp.float32)))
+        true_probs = np.asarray(probs)[np.arange(te.shape[0]), np.asarray(y[te])]
+        nll = float(-np.log(np.maximum(true_probs, 1e-12)).mean())
+        rec = {
+            "seed": seed, "accuracy": acc, "test_nll": nll,
+            "final_elbo": -float(res.losses[-1]),
+            "n_train": int(tr.shape[0]), "n_test": int(te.shape[0]),
+            "kernel": args.kernel_kind,
+        }
+        records.append(rec)
+        print(
+            f"seed={seed}: accuracy={acc:.4f} nll={nll:.4f} "
+            f"elbo={rec['final_elbo']:.1f}"
+        )
+
+    path = save_results(records, args.results_dir, "classification", config=vars(args))
+    print_summary(records, ["kernel"], ["accuracy", "test_nll"])
+    print(f"results -> {path}")
+    return records
+
+
+if __name__ == "__main__":
+    main()

@@ -209,8 +209,14 @@ def load_cora(data_dir: str, num_train: int = 1988, num_test: int = 497, seed: i
         if node in subject_by_node:
             labels[i] = classes[subject_by_node[node]]
 
+    n = keep.size
+    if num_train + num_test > n:
+        # graph smaller than the requested split (e.g. subsampled data):
+        # fall back to an 80/20 split of what's available
+        num_train = min(num_train, int(n * 0.8))
+        num_test = n - num_train
     rng = np.random.default_rng(seed)
-    perm = rng.permutation(keep.size)
+    perm = rng.permutation(n)
     train_idx = np.sort(perm[:num_train]).astype(np.int32)
     test_idx = np.sort(perm[num_train : num_train + num_test]).astype(np.int32)
     return adj, labels, train_idx, test_idx

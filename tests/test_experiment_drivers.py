@@ -1,0 +1,103 @@
+"""Tests for the regression / classification / wind experiment drivers."""
+import numpy as np
+import pytest
+
+
+def test_regression_driver_small(tmp_path):
+    from graphgp_tpu.cli.regression import main
+
+    records = main([
+        "--graph-type", "grid",
+        "--n-nodes", "100",
+        "--num-train", "50",
+        "--walks", "20", "200",
+        "--max-walk-length", "4",
+        "--train-steps", "60",
+        "--seeds", "1",
+        "--results-dir", str(tmp_path),
+    ])
+    kernels = {r["kernel"] for r in records}
+    assert kernels == {"exact_diffusion", "grf_diffusion", "grf_free"}
+    # GRF error should decrease (or at least not blow up) with more walks
+    grf = {r["walks_per_node"]: r["rmse"] for r in records if r["kernel"] == "grf_diffusion"}
+    assert grf[200] <= grf[20] * 1.5
+    exact_rmse = [r["rmse"] for r in records if r["kernel"] == "exact_diffusion"][0]
+    assert grf[200] < exact_rmse * 3  # converging toward exact-kernel quality
+
+
+def test_classification_driver_small(tmp_path):
+    from graphgp_tpu.cli.classification import main
+
+    records = main([
+        "--n-nodes", "200",
+        "--num-classes", "3",
+        "--walks-per-node", "200",
+        "--max-walk-length", "3",
+        "--num-steps", "200",
+        "--seeds", "1",
+        "--results-dir", str(tmp_path),
+    ])
+    assert len(records) == 1
+    # community graph: GRF-SVGP must beat chance (1/3) clearly
+    assert records[0]["accuracy"] > 0.5
+
+
+def test_classification_cora_files(tmp_path):
+    """Real-Cora code path on fabricated cora.cites/cora.content files."""
+    from graphgp_tpu.cli.classification import main
+
+    d = tmp_path / "cora"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    # 60-node, 2-community citation-style graph
+    edges = []
+    for c, base in [(0, 0), (1, 30)]:
+        for _ in range(120):
+            a, b = rng.integers(0, 30, 2)
+            if a != b:
+                edges.append((base + a, base + b))
+    edges += [(0, 30), (5, 40)]  # weak inter-community links keep it connected
+    with open(d / "cora.cites", "w") as f:
+        for a, b in edges:
+            f.write(f"{a}\t{b}\n")
+    with open(d / "cora.content", "w") as f:
+        for node in range(60):
+            f.write(f"{node}\tfeat\t{'AI' if node < 30 else 'DB'}\n")
+    records = main([
+        "--cora-dir", str(d),
+        "--walks-per-node", "100",
+        "--max-walk-length", "3",
+        "--num-steps", "150",
+        "--seeds", "1",
+        "--results-dir", str(tmp_path),
+    ])
+    assert records[0]["accuracy"] > 0.6
+
+
+def test_wind_driver_small(tmp_path):
+    from graphgp_tpu.cli.wind import build_sphere_grid_graph, main, orbit_track_nodes
+
+    # graph builder properties: symmetric, wraparound edges present
+    lat = np.linspace(-90, 90, 7)
+    lon = np.linspace(-180, 180, 12, endpoint=False)
+    adj = build_sphere_grid_graph(lat, lon)
+    assert adj.shape == (84, 84)
+    assert np.abs((adj - adj.T)).max() == 0
+    # wraparound: node (i, 0) connects to (i, n_lon-1)
+    assert adj[3 * 12 + 0, 3 * 12 + 11] > 0
+
+    track = orbit_track_nodes(lat, lon)
+    assert 0 < track.size < 84
+
+    records = main([
+        "--n-lat", "7",
+        "--n-lon", "12",
+        "--walks", "50",
+        "--max-walk-length", "3",
+        "--train-steps", "30",
+        "--num-pathwise-samples", "16",
+        "--seeds", "1",
+        "--results-dir", str(tmp_path),
+    ])
+    assert {r["kernel"] for r in records} == {"free", "diffusion"}
+    assert all(np.isfinite(r["rmse"]) and np.isfinite(r["nlpd"]) for r in records)

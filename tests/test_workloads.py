@@ -166,3 +166,18 @@ def test_cli_ablation_small(tmp_path):
     assert len(records) == 2  # principled + ablation
     modes = {r["mode"] for r in records}
     assert modes == {"principled", "ablation"}
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import numpy as np
+
+    from graphgp_tpu.gp import params as P
+    from graphgp_tpu.utils.checkpoint import load_params, save_params
+
+    p = P.init_params("free", 4, jax.random.PRNGKey(1))
+    path = str(tmp_path / "ckpt")
+    save_params(path, p)
+    q = load_params(path, like=p)
+    for k in p:
+        np.testing.assert_allclose(np.asarray(p[k]), np.asarray(q[k]))
