@@ -32,6 +32,8 @@ def main(argv=None):
     p.add_argument("--max-walk-length", type=int, default=10)
     p.add_argument("--train-steps", type=int, default=200)
     p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--gnn-baseline", action="store_true",
+                   help="also train the GCN regression baseline")
     p.add_argument("--results-dir", default="artifacts/results")
     args = p.parse_args(argv)
 
@@ -63,18 +65,15 @@ def main(argv=None):
     records: List[Dict] = []
     adj = data["adjacency"]
 
-    # --- exact-diffusion baseline (dense eigh kernel, trainable β/σ_f) ---
-    # Build "step matrices" for the exact kernel via PoFM? No: use the exact
-    # expm GP by expressing it through DenseFeatures of exact Laplacian
-    # powers — i.e. PoFM with enough terms is exact up to truncation; instead
-    # we use the closed-form eigendecomposition for the baseline.
-    import scipy.sparse as sp
+    # --- exact-diffusion baseline: trainable β/σ_f over the eigenbasis
+    # (reference GraphDiffusionKernel, gpflow_kernels/diffusion_kernel_exact.py)
+    from ..gp import spectral
 
-    adj_dense = adj.toarray() if sp.issparse(adj) else np.asarray(adj)
-    deg = adj_dense.sum(axis=1)
-    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0)), 0.0)
-    lap = np.eye(n) - adj_dense * dinv[:, None] * dinv[None, :]
-    evals, evecs = np.linalg.eigh(lap)
+    eig = spectral.eigenbasis(adj)
+    # --- PoFM deterministic baseline features (exact L^l powers)
+    from ..kernels import pofm_features
+
+    pofm = DenseFeatures(pofm_features(adj, max_expansion=args.max_walk_length))
 
     for seed in range(args.seeds):
         rng = np.random.default_rng(seed)
@@ -82,46 +81,61 @@ def main(argv=None):
         tr = jnp.asarray(np.sort(perm[: args.num_train]), jnp.int32)
         te = jnp.asarray(np.sort(perm[args.num_train :]), jnp.int32)
 
-        # exact baseline: grid-search β, σ², σ_f over the eigenbasis MLL
-        ev = jnp.asarray(evals, jnp.float32)
-        q = jnp.asarray(evecs, jnp.float32)
+        sres = spectral.fit(eig, tr, y_all[tr], num_steps=args.train_steps)
+        spost = spectral.predict(eig, sres.params, tr, y_all[tr], te)
+        from ..gp import params as P
 
-        def exact_gp_metrics(beta, noise_var):
-            k = (q * jnp.exp(-beta * ev)[None, :]) @ q.T
-            k_tt = k[tr][:, tr] + noise_var * jnp.eye(tr.shape[0])
-            chol = jnp.linalg.cholesky(k_tt + 1e-6 * jnp.eye(tr.shape[0]))
-            alpha = jax.scipy.linalg.cho_solve((chol, True), y_all[tr])
-            mean = k[te][:, tr] @ alpha
-            v = jax.scipy.linalg.solve_triangular(chol, k[tr][:, te], lower=True)
-            var = jnp.maximum(jnp.diag(k)[te] - jnp.sum(v * v, 0), 1e-10) + noise_var
-            lml = -0.5 * (
-                y_all[tr] @ alpha
-                + 2 * jnp.sum(jnp.log(jnp.diagonal(chol)))
-                + tr.shape[0] * jnp.log(2 * jnp.pi)
-            )
-            rmse = jnp.sqrt(jnp.mean((mean - y_all[te]) ** 2))
-            nlpd = jnp.mean(
-                0.5 * (jnp.log(2 * jnp.pi * var) + (y_all[te] - mean) ** 2 / var)
-            )
-            return lml, rmse, nlpd
-
-        best = None
-        for beta in [0.25, 0.5, 1.0, 2.0, 4.0]:
-            for nv in [0.01, 0.05, 0.1, 0.3]:
-                lml, rmse, nlpd = exact_gp_metrics(beta, nv)
-                if best is None or float(lml) > best[0]:
-                    best = (float(lml), float(rmse), float(nlpd), beta, nv)
-        records.append(
-            {
-                "seed": seed, "kernel": "exact_diffusion", "walks_per_node": 0,
-                "lml": best[0], "rmse": best[1], "nlpd": best[2],
-                "beta": best[3],
-            }
-        )
+        var = spost.var + P.noise_variance(sres.params)
+        rec = {
+            "seed": seed, "kernel": "exact_diffusion", "walks_per_node": 0,
+            "lml": -float(sres.losses[-1]),
+            "rmse": float(jnp.sqrt(jnp.mean((spost.mean - y_all[te]) ** 2))),
+            "nlpd": float(jnp.mean(0.5 * (
+                jnp.log(2 * jnp.pi * var) + (y_all[te] - spost.mean) ** 2 / var
+            ))),
+            "beta": float(jax.nn.softplus(sres.params["raw_beta"])),
+        }
+        records.append(rec)
         print(
-            f"seed={seed} exact_diffusion: lml={best[0]:.1f} rmse={best[1]:.4f} "
-            f"nlpd={best[2]:.4f} (beta={best[3]})"
+            f"seed={seed} exact_diffusion: lml={rec['lml']:.1f} "
+            f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f} (beta={rec['beta']:.2f})"
         )
+
+        # PoFM arms: same GP stack over exact power features
+        for kind in ("diffusion", "free"):
+            pres = exact.fit(
+                pofm, tr, y_all[tr], kind=kind, key=jax.random.PRNGKey(seed),
+                num_steps=args.train_steps, learning_rate=0.05,
+            )
+            ppost = exact.predict(pofm, pres.params, tr, y_all[tr], te, kind=kind)
+            rec = {
+                "seed": seed, "kernel": f"pofm_{kind}", "walks_per_node": 0,
+                "lml": -float(pres.losses[-1]),
+                "rmse": float(exact.rmse(ppost, y_all[te])),
+                "nlpd": float(exact.nlpd(ppost, pres.params, y_all[te])),
+            }
+            records.append(rec)
+            print(
+                f"seed={seed} pofm_{kind}: lml={rec['lml']:.1f} "
+                f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f}"
+            )
+
+        # GNN baseline (reference traffic_regression_GNN.ipynb)
+        if args.gnn_baseline:
+            from ..baselines import fit_gcn
+
+            gres = fit_gcn(
+                adj, tr, y_all[tr], num_steps=args.train_steps * 2,
+                key=jax.random.PRNGKey(seed),
+            )
+            g_rmse = float(
+                jnp.sqrt(jnp.mean((gres.predictions[te] - y_all[te]) ** 2))
+            )
+            records.append(
+                {"seed": seed, "kernel": "gcn", "walks_per_node": 0,
+                 "lml": float("nan"), "rmse": g_rmse, "nlpd": float("nan")}
+            )
+            print(f"seed={seed} gcn: rmse={g_rmse:.4f}")
 
         # --- GRF sweeps ---
         graph = pack_laplacian(adj)

@@ -144,6 +144,36 @@ def general_pofm_feature_matrix(
     return kf
 
 
+def pofm_features(adj, max_expansion: int = 10, on_adjacency: bool = False):
+    """Deterministic PoFM step matrices: exact powers ``L^l`` (or ``A^l``)
+    as a (L, N, N) tensor usable as :class:`~graphgp_tpu.features.DenseFeatures`.
+
+    With a learnable modulator this reproduces the reference's trainable PoFM
+    kernels (GraphDiffusionPoFMKernel / GraphGeneralPoFMKernel,
+    gpflow_kernels/diffusion_kernel_pofm.py:7-37,
+    general_kernel_pofm.py:7-93): Φ = Σ_l f_l L^l with exact (not
+    Monte-Carlo) powers — the zero-variance, O(N³L) counterpart of GRF step
+    matrices. Feed to the same GP stack (exact.fit with kind='free' or
+    'diffusion').
+    """
+    import scipy.sparse as sp
+
+    adj_dense = adj.toarray() if sp.issparse(adj) else np.asarray(adj)
+    base = (
+        jnp.asarray(adj_dense, jnp.float32)
+        if on_adjacency
+        else normalized_laplacian(jnp.asarray(adj_dense, jnp.float32))
+    )
+
+    def body(power, _):
+        return power @ base, power
+
+    n = base.shape[0]
+    eye = jnp.eye(n, dtype=base.dtype)
+    _, powers = jax.lax.scan(body, eye, None, length=max_expansion)
+    return powers  # (L, N, N): powers[l] = base^l
+
+
 def grf_kernel_unbiased(
     adj,
     modulator_vector: Sequence[float],

@@ -17,7 +17,9 @@ def test_regression_driver_small(tmp_path):
         "--results-dir", str(tmp_path),
     ])
     kernels = {r["kernel"] for r in records}
-    assert kernels == {"exact_diffusion", "grf_diffusion", "grf_free"}
+    assert kernels == {
+        "exact_diffusion", "grf_diffusion", "grf_free", "pofm_diffusion", "pofm_free",
+    }
     # GRF error should decrease (or at least not blow up) with more walks
     grf = {r["walks_per_node"]: r["rmse"] for r in records if r["kernel"] == "grf_diffusion"}
     assert grf[200] <= grf[20] * 1.5
@@ -101,3 +103,61 @@ def test_wind_driver_small(tmp_path):
     ])
     assert {r["kernel"] for r in records} == {"free", "diffusion"}
     assert all(np.isfinite(r["rmse"]) and np.isfinite(r["nlpd"]) for r in records)
+
+
+def test_spectral_gp_matches_grf_limit():
+    """Spectral exact-diffusion GP is the zero-variance GRF limit: at high
+    wpn the GRF diffusion kernel's K approaches the spectral K."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphgp_tpu import WalkConfig, pack_laplacian
+    from graphgp_tpu.data.synthetic import generate_ring_data
+    from graphgp_tpu.gp import spectral
+    from graphgp_tpu.kernels import fast_diffusion_grf_kernel
+
+    d = generate_ring_data(48, seed=0)
+    adj = d["adjacency"].toarray()
+    eig = spectral.eigenbasis(adj)
+    params = spectral.init_params(beta=1.0, sigma_f=1.0)
+    phi = spectral._spectral_phi(eig, params)
+    k_exact = np.asarray(phi @ phi.T)
+    k_grf = np.asarray(
+        fast_diffusion_grf_kernel(adj, beta=1.0, walks_per_node=8000, max_walk_length=10)
+    )
+    assert np.abs(k_exact - k_grf).max() < 0.05
+
+
+def test_pofm_features_exact_powers():
+    import jax.numpy as jnp
+
+    from graphgp_tpu import normalized_laplacian
+    from graphgp_tpu.kernels import pofm_features
+
+    adj = np.zeros((6, 6))
+    for i in range(5):
+        adj[i, i + 1] = adj[i + 1, i] = 1.0
+    lap = np.asarray(normalized_laplacian(adj))
+    powers = np.asarray(pofm_features(adj, max_expansion=4))
+    np.testing.assert_allclose(powers[0], np.eye(6), atol=1e-6)
+    np.testing.assert_allclose(powers[1], lap, atol=1e-5)
+    np.testing.assert_allclose(powers[3], lap @ lap @ lap, atol=1e-4)
+
+
+def test_gcn_baseline_learns():
+    import jax
+    import jax.numpy as jnp
+
+    from graphgp_tpu.baselines import fit_gcn
+    from graphgp_tpu.data.synthetic import generate_grid_data
+
+    d = generate_grid_data(144, seed=0)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(144)
+    tr = jnp.asarray(np.sort(perm[:100]), jnp.int32)
+    te = jnp.asarray(np.sort(perm[100:]), jnp.int32)
+    y = jnp.asarray(d["y_observed"])
+    res = fit_gcn(d["adjacency"], tr, y[tr], num_steps=400)
+    assert float(res.losses[-1]) < float(res.losses[0]) * 0.5
+    rmse = float(jnp.sqrt(jnp.mean((res.predictions[te] - y[te]) ** 2)))
+    assert rmse < float(jnp.std(y))  # beats predicting the mean
