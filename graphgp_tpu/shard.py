@@ -122,6 +122,125 @@ def shard_features(feats, mesh: Mesh):
     raise TypeError(f"unsupported features type {type(feats)!r}")
 
 
+def distributed_gram_solve(
+    feats,
+    params,
+    train_idx: jnp.ndarray,
+    b: jnp.ndarray,
+    mesh: Mesh,
+    kind: str = "free",
+    *,
+    tol: float = 1e-4,
+    max_iters: int = 200,
+) -> jnp.ndarray:
+    """Solve ``(K_tt + σ²I) x = b`` with explicit SPMD collectives.
+
+    The explicit-collectives counterpart of the pjit-auto path in
+    gp/iterative.py, and the TPU-native replacement for the reference's
+    absent distributed backend (SURVEY §5.8): features stay sharded over
+    start-node blocks; each CG matvec is
+
+        u    = psum_shards( Φ_shardᵀ scatter_local(v) )     # one psum (ICI)
+        K v  = psum_shards( scatter_train( Φ_shard u ) )    # one psum (ICI)
+
+    so per iteration exactly two all-reduces of (Nt,) and (n_train,) vectors
+    ride the interconnect; everything else is shard-local gathers/scatters.
+
+    Args:
+        feats: Features pytree whose node axis is shard-able over the mesh
+            (Dense/Ell/Log). Pass the *global* object; this function shards it.
+        b: (n_train,) or (n_train, B) replicated right-hand side.
+
+    Returns: x with b's shape, replicated.
+    """
+    from .gp import params as gp_params
+
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    n = feats.num_nodes
+    if n % nd:
+        raise ValueError(
+            f"distributed_gram_solve requires num_nodes ({n}) divisible by "
+            f"mesh size ({nd}); pad the feature rows first."
+        )
+    block = n // nd
+    lmax = feats.max_walk_length
+    feats_sharded = shard_features(feats, mesh)
+    single = b.ndim == 1
+    b2 = b[:, None] if single else b
+    n_train = b2.shape[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(), P(), P()),
+        out_specs=P(),
+    )
+    def solve(feats_leaves, params_rep, train_idx_rep, b_rep):
+        local = jax.tree_util.tree_unflatten(_treedef(feats), list(feats_leaves))
+        shard_ix = jax.lax.axis_index(axis)
+        offset = shard_ix * block
+        f = gp_params.modulator(kind, params_rep, lmax)
+        noise = gp_params.noise_variance(params_rep)
+        in_shard = (train_idx_rep >= offset) & (train_idx_rep < offset + block)
+        local_rows = jnp.where(in_shard, train_idx_rep - offset, block)  # OOB→drop
+
+        def matvec(v):  # v (n_train, B) replicated
+            # scatter train values into the local row block
+            local_v = (
+                jnp.zeros((block, v.shape[1]), jnp.float32)
+                .at[local_rows]
+                .add(v, mode="drop")
+            )
+            u = jax.lax.psum(local.rmatvec(f, local_v), axis)  # (Nt, B)
+            kv_rows = local.matvec(f, u)  # (block, B)
+            out = (
+                jnp.zeros((n_train, v.shape[1]), jnp.float32)
+                .at[jnp.where(in_shard, jnp.arange(n_train), n_train)]
+                .add(kv_rows[local_rows.clip(0, block - 1)] * in_shard[:, None],
+                     mode="drop")
+            )
+            return jax.lax.psum(out, axis) + noise * v
+
+        # plain CG (replicated scalars, shard-local matvec internals)
+        x = jnp.zeros_like(b_rep)
+        r = b_rep - matvec(x)
+        p = r
+        rs = jnp.sum(r * r, axis=0)
+        bnorm = jnp.maximum(jnp.linalg.norm(b_rep, axis=0), 1e-30)
+
+        def cond(state):
+            x, r, p, rs, it = state
+            return (it < max_iters) & jnp.any(
+                jnp.linalg.norm(r, axis=0) / bnorm > tol
+            )
+
+        def body(state):
+            x, r, p, rs, it = state
+            ap = matvec(p)
+            denom = jnp.sum(p * ap, axis=0)
+            alpha = jnp.where(denom != 0, rs / jnp.where(denom != 0, denom, 1.0), 0.0)
+            active = (jnp.linalg.norm(r, axis=0) / bnorm) > tol
+            alpha = jnp.where(active, alpha, 0.0)
+            x = x + alpha[None] * p
+            r = r - alpha[None] * ap
+            rs_new = jnp.sum(r * r, axis=0)
+            beta = jnp.where(rs != 0, rs_new / jnp.where(rs != 0, rs, 1.0), 0.0)
+            p = r + beta[None] * p
+            return (x, r, p, rs_new, it + 1)
+
+        x, *_ = jax.lax.while_loop(cond, body, (x, r, p, rs, 0))
+        return x
+
+    leaves = jax.tree_util.tree_leaves(feats_sharded)
+    x = solve(tuple(leaves), params, train_idx, b2)
+    return x[:, 0] if single else x
+
+
+def _treedef(feats):
+    return jax.tree_util.tree_structure(feats)
+
+
 def sharded_hmc_chains(mesh: Mesh):
     """Sharding helper for the HMC chain axis: use with
     ``jax.jit(..., in_shardings=...)`` over chain-leading pytrees."""

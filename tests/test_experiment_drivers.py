@@ -161,3 +161,23 @@ def test_gcn_baseline_learns():
     assert float(res.losses[-1]) < float(res.losses[0]) * 0.5
     rmse = float(jnp.sqrt(jnp.mean((res.predictions[te] - y[te]) ** 2)))
     assert rmse < float(jnp.std(y))  # beats predicting the mean
+
+
+def test_hmc_driver_small(tmp_path):
+    from graphgp_tpu.cli.hmc import main
+
+    records = main([
+        "--graph-type", "circle",
+        "--n-nodes", "60",
+        "--walks-per-node", "100",
+        "--max-walk-length", "3",
+        "--num-chains", "2",
+        "--num-warmup", "40",
+        "--num-samples", "40",
+        "--num-leapfrog", "6",
+        "--results-dir", str(tmp_path),
+    ])
+    by_name = {r["quantity"]: r["value"] for r in records}
+    assert by_name["accept_chain0"] > 0.2
+    assert np.isfinite(by_name["bayes_nlpd"])
+    assert by_name["beta_std"] > 0

@@ -73,3 +73,39 @@ def test_sharded_training_reduces_loss():
     losses = np.asarray(res.losses)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_distributed_gram_solve_matches_single_device():
+    """Explicit-psum distributed CG == single-device CG solution."""
+    from graphgp_tpu.features import LogFeatures
+    from graphgp_tpu.gp import params as P
+    from graphgp_tpu.gp.iterative import make_ktt_matvec
+    from graphgp_tpu.linalg import batched_cg
+    from graphgp_tpu.shard import distributed_gram_solve
+
+    n = 64
+    graph = pack_laplacian(_ring(n))
+    cfg = WalkConfig(walks_per_node=30, p_halt=0.1, max_walk_length=3)
+    log = sample_walk_log(graph, jax.random.PRNGKey(0), cfg)
+    feats = LogFeatures(log, num_target_nodes=n)
+    params = P.init_params("diffusion", 3, jax.random.PRNGKey(1), noise=0.3)
+    train_idx = jnp.arange(0, n, 2, dtype=jnp.int32)
+    b = jax.random.normal(jax.random.PRNGKey(2), (train_idx.shape[0], 3))
+
+    ref = batched_cg(
+        make_ktt_matvec("diffusion"), (params, feats, train_idx), b,
+        tol=1e-8, max_iters=300,
+    ).x
+    mesh = make_mesh(8)
+    got = distributed_gram_solve(
+        feats, params, train_idx, b, mesh, kind="diffusion",
+        tol=1e-8, max_iters=300,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-4)
+
+    # single-vector path
+    got1 = distributed_gram_solve(
+        feats, params, train_idx, b[:, 0], mesh, kind="diffusion",
+        tol=1e-8, max_iters=300,
+    )
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref[:, 0]), rtol=1e-3, atol=1e-4)
