@@ -261,6 +261,120 @@ def sample_walk_log(
     return WalkLog(curs=curs, loads=loads)
 
 
+# ---------------------------------------------------------------------------
+# MXU one-hot walker: the dense-regime fast path.
+#
+# For small/medium N the walk state is carried as ONE-HOT row vectors, so each
+# step is two MXU matmuls (row gather = C @ table, step-matrix accumulation =
+# loadsᵀ-weighted batched matmul) plus VPU compares — zero HBM random gathers.
+# This targets exactly the reference's dense sweeps (N ≈ 900–2500, wpn up to
+# 8192: traffic/Cora/ablation protocols, SURVEY §6) where gather-issue rate,
+# not FLOPs, bounds the gather walker.
+# ---------------------------------------------------------------------------
+
+ONEHOT_MAX_NODES = 2048
+
+
+@partial(jax.jit, static_argnames=("cfg", "walk_block"))
+def sample_dense_step_matrices_mxu(
+    graph: PackedGraph,
+    key: jax.Array,
+    cfg: WalkConfig,
+    walk_block: int = 8,
+) -> jnp.ndarray:
+    """Walk + accumulate dense (L, N, N) step matrices via MXU one-hot algebra.
+
+    Bit-identical to the gather path (same hash RNG, same pick arithmetic);
+    only the memory-access strategy differs. Walks are processed in blocks of
+    ``walk_block`` per node under a lax.scan so the one-hot state stays
+    bounded at (N·walk_block, N) floats.
+    """
+    n, w = graph.num_nodes, cfg.walks_per_node
+    d = graph.max_degree
+    if w % walk_block:
+        walk_block = 1  # fall back to per-walk blocks for odd wpn
+    num_blocks = w // walk_block
+    k0, k1 = _key_words(key)
+    table = jnp.concatenate(
+        [
+            graph.degree[:, None].astype(jnp.float32),
+            graph.neighbors.astype(jnp.float32),
+            graph.weights,
+        ],
+        axis=1,
+    )  # (N, 1+2D)
+    node_iota = jnp.arange(n, dtype=jnp.int32)
+    inv_keep = jnp.float32(1.0 / (1.0 - cfg.p_halt))
+
+    def one_block(m_acc, block_ix):
+        # lanes: (N, walk_block); global walk ids for RNG parity
+        walk_id = (block_ix * walk_block + jnp.arange(walk_block, dtype=jnp.uint32))[
+            None, :
+        ]
+        global_node = node_iota.astype(jnp.uint32)[:, None]
+        b = n * walk_block
+        cur = jnp.broadcast_to(node_iota[:, None], (n, walk_block))
+        load = jnp.where(cur >= 0, 1.0, 1.0).astype(jnp.float32)
+        alive = cur >= 0
+
+        def step(carry, l):
+            cur, load, alive, m_acc = carry
+            # one-hot of the current position (B, N): built by lane compare,
+            # consumed twice by the MXU (accumulate + row gather)
+            c = (cur.reshape(b, 1) == node_iota[None, :]).astype(jnp.float32)
+            rec_load = jnp.where(alive, load, 0.0)  # (N, WB)
+            # accumulate M_l += Σ_w load · onehot(cur): batched MXU matmul
+            contrib = jnp.einsum(
+                "nw,nwj->nj",
+                rec_load,
+                c.reshape(n, walk_block, n),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            m_acc = m_acc.at[l].add(contrib)
+
+            u_halt = _uniform_01(_hash_words(k0, k1, l * 2, global_node, walk_id))
+            u_pick = _uniform_01(_hash_words(k0, k1, l * 2 + 1, global_node, walk_id))
+
+            # HIGHEST precision is load-bearing: default TPU matmuls use bf16
+            # inputs, which rounds neighbor ids > 256 in the one-hot gather.
+            rows = jnp.dot(
+                c, table, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (B, F)
+            rows = rows.reshape(n, walk_block, -1)
+            degf = rows[..., 0]
+            deg = degf.astype(jnp.int32)
+            halt = (degf == 0) | (u_halt < cfg.p_halt)
+            pick = jnp.minimum(
+                (u_pick * degf).astype(jnp.int32), jnp.maximum(deg - 1, 0)
+            )
+            onehot_pick = jax.nn.one_hot(pick, d, dtype=jnp.float32)
+            nxt = jnp.sum(rows[..., 1 : 1 + d] * onehot_pick, -1).astype(jnp.int32)
+            wgt = jnp.sum(rows[..., 1 + d :] * onehot_pick, -1)
+            if cfg.ablation:
+                new_load = wgt
+            else:
+                new_load = load * degf * wgt * inv_keep
+            alive_next = alive & ~halt
+            load = jnp.where(alive_next, new_load, load)
+            cur = jnp.where(alive_next, nxt, cur)
+            return (cur, load, alive_next, m_acc), None
+
+        (cur, load, alive, m_acc), _ = jax.lax.scan(
+            step,
+            (cur, load, alive, m_acc),
+            jnp.arange(cfg.max_walk_length, dtype=jnp.uint32),
+        )
+        return m_acc, None
+
+    m0 = jnp.zeros((cfg.max_walk_length, n, n), jnp.float32)
+    m_acc, _ = jax.lax.scan(
+        one_block, m0, jnp.arange(num_blocks, dtype=jnp.uint32)
+    )
+    return m_acc / w
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_target_nodes"))
 def dense_step_matrices(
     log: WalkLog, cfg: WalkConfig, num_target_nodes: Optional[int] = None
