@@ -19,6 +19,10 @@ from .modulators import diffusion_modulator
 from .walker import WalkConfig, sample_dense_step_matrices, sample_walk_log
 
 
+def _largest_pow2_divisor(x: int) -> int:
+    return x & -x
+
+
 def step_matrices_for_adjacency(
     adj,
     key: jax.Array,
@@ -26,11 +30,17 @@ def step_matrices_for_adjacency(
     p_halt: float = 0.1,
     max_walk_length: int = 10,
     ablation: bool = False,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Adjacency → normalized Laplacian → dense (L, N, N) step matrices.
 
     The `ablation=True` mode walks the *raw adjacency* with the ad-hoc load
     update, mirroring reference gpflow_kernels/general_kernel_fast_grf.py:44-51.
+
+    method: "auto" picks the fused Pallas kernel on TPU in the dense regime
+    (N small enough for VMEM-resident one-hot state, walks_per_node with a
+    wide power-of-two factor so MXU lanes stay full), else the XLA
+    gather+scatter walker. "pallas" / "gather" force a path.
     """
     cfg = WalkConfig(
         walks_per_node=walks_per_node,
@@ -44,6 +54,22 @@ def step_matrices_for_adjacency(
         graph = pack_dense(np.asarray(adj))
     else:
         graph = pack_laplacian(adj)
+
+    if method == "auto":
+        from .pallas_kernels.walker import PALLAS_MAX_NODES
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and graph.num_nodes <= PALLAS_MAX_NODES
+            and _largest_pow2_divisor(walks_per_node) >= 32
+        )
+        method = "pallas" if use_pallas else "gather"
+    if method == "pallas":
+        from .pallas_kernels import sample_dense_step_matrices_pallas
+
+        return sample_dense_step_matrices_pallas(graph, key, cfg)
+    if method != "gather":
+        raise ValueError(f"unknown step-matrix method {method!r}")
     return sample_dense_step_matrices(graph, key, cfg)
 
 
