@@ -116,6 +116,22 @@ PACKED_MAX_DEGREE = 16
 _F32_EXACT_INT = 1 << 24
 
 
+def _onehot_row_select(rows_nbr, rows_wgt, degf, u_pick):
+    """Shared pick arithmetic over pre-fetched neighbor rows.
+
+    Bit-identical to a direct element gather: the one-hot sum adds exact
+    zeros around the selected element (``x + 0.0 == x`` in f32; exact int32
+    arithmetic for node ids, so this is safe at any N).
+    """
+    d = rows_nbr.shape[-1]
+    deg = degf.astype(jnp.int32)
+    pick = jnp.minimum((u_pick * degf).astype(jnp.int32), jnp.maximum(deg - 1, 0))
+    onehot = jax.nn.one_hot(pick, d, dtype=jnp.int32)
+    nxt = jnp.sum(rows_nbr.astype(jnp.int32) * onehot, -1)
+    wgt = jnp.sum(rows_wgt * onehot.astype(jnp.float32), -1)
+    return degf, nxt, wgt
+
+
 def _lookup_ell_flat(graph: PackedGraph):
     """Baseline lookup: 3 independent gathers (degree, neighbor, weight)."""
     flat_neighbors = graph.neighbors.reshape(-1)
@@ -129,7 +145,15 @@ def _lookup_ell_flat(graph: PackedGraph):
         flat_idx = cur * dmax + pick
         return degf, flat_neighbors[flat_idx], flat_weights[flat_idx]
 
-    return lookup
+    def lookup_start(start, u_pick):
+        # Step 0: every lane of a node shares the node's row — fetch each row
+        # once ((N, D) slab, contiguous for iota starts) and select in-register.
+        degf = graph.degree[start].astype(jnp.float32)[:, None]
+        rows_nbr = graph.neighbors[start][:, None, :]
+        rows_wgt = graph.weights[start][:, None, :]
+        return _onehot_row_select(rows_nbr, rows_wgt, degf, u_pick)
+
+    return lookup, lookup_start
 
 
 def _lookup_ell_packed(graph: PackedGraph):
@@ -148,8 +172,7 @@ def _lookup_ell_packed(graph: PackedGraph):
         axis=1,
     )  # (N, 1+2D)
 
-    def lookup(cur, u_pick):
-        rows = table[cur]  # (..., 1+2D) single gather
+    def _select(rows, u_pick):
         degf = rows[..., 0]
         deg = degf.astype(jnp.int32)
         pick = jnp.minimum((u_pick * degf).astype(jnp.int32), jnp.maximum(deg - 1, 0))
@@ -158,23 +181,39 @@ def _lookup_ell_packed(graph: PackedGraph):
         wgt = jnp.sum(rows[..., 1 + d :] * onehot, -1)
         return degf, nxt, wgt
 
-    return lookup
+    def lookup(cur, u_pick):
+        return _select(table[cur], u_pick)  # (..., 1+2D) single gather per lane
+
+    def lookup_start(start, u_pick):
+        # Step 0: one row fetch per node (contiguous slab for iota starts),
+        # shared across all walks_per_node lanes of that node.
+        return _select(table[start][:, None, :], u_pick)
+
+    return lookup, lookup_start
 
 
 def _lookup_csr(graph: "CsrGraph"):
     """CSR lookup for skewed-degree graphs: 2 fused row gathers
     (node table [row_start, degree], edge table [neighbor, weight])."""
 
-    def lookup(cur, u_pick):
-        nrows = graph.node_table[cur]  # (..., 2) gather
-        row_start = nrows[..., 0]
-        deg = nrows[..., 1]
+    def _edge_select(row_start, deg, u_pick):
         degf = deg.astype(jnp.float32)
         pick = jnp.minimum((u_pick * degf).astype(jnp.int32), jnp.maximum(deg - 1, 0))
         erows = graph.edge_table[row_start + pick]  # (..., 2) gather
         return degf, erows[..., 0].astype(jnp.int32), erows[..., 1]
 
-    return lookup
+    def lookup(cur, u_pick):
+        nrows = graph.node_table[cur]  # (..., 2) gather
+        return _edge_select(nrows[..., 0], nrows[..., 1], u_pick)
+
+    def lookup_start(start, u_pick):
+        # Step 0: node-table row shared across the node's lanes. The edge
+        # gather still diverges per walk (ragged rows), so only the node
+        # gather amortizes here.
+        nrows = graph.node_table[start][:, None, :]
+        return _edge_select(nrows[..., 0], nrows[..., 1], u_pick)
+
+    return lookup, lookup_start
 
 
 def _make_lookup(graph):
@@ -226,29 +265,30 @@ def sample_walk_log(
     start = jnp.asarray(node_offset, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     global_node = start.astype(jnp.uint32)[:, None]  # (N, 1)
     walk_id = jnp.arange(w, dtype=jnp.uint32)[None, :]  # (1, W)
-    lookup = _make_lookup(graph)
+    lookup, lookup_start = _make_lookup(graph)
     inv_keep = jnp.float32(1.0 / (1.0 - cfg.p_halt))
+
+    def transition(carry, l, degf, nxt, wgt, u_halt):
+        cur, load, alive = carry
+        halt = (degf == 0) | (u_halt < cfg.p_halt)
+        if cfg.ablation:
+            new_load = wgt
+        else:
+            new_load = load * degf * wgt * inv_keep
+        alive_next = alive & ~halt
+        cur_next = jnp.where(alive_next, nxt, cur)
+        load_next = jnp.where(alive_next, new_load, load)
+        return cur_next, load_next, alive_next
 
     def step(carry, l):
         cur, load, alive = carry
         rec_cur = cur
         rec_load = jnp.where(alive, load, 0.0)
-
         u_halt = _uniform_01(_hash_words(k0, k1, l * 2, global_node, walk_id))
         u_pick = _uniform_01(_hash_words(k0, k1, l * 2 + 1, global_node, walk_id))
-
         degf, nxt, wgt = lookup(cur, u_pick)
-        halt = (degf == 0) | (u_halt < cfg.p_halt)
-
-        if cfg.ablation:
-            new_load = wgt
-        else:
-            new_load = load * degf * wgt * inv_keep
-
-        alive_next = alive & ~halt
-        cur_next = jnp.where(alive_next, nxt, cur)
-        load_next = jnp.where(alive_next, new_load, load)
-        return (cur_next, load_next, alive_next), (rec_cur, rec_load)
+        carry = transition(carry, l, degf, nxt, wgt, u_halt)
+        return carry, (rec_cur, rec_load)
 
     cur0 = jnp.broadcast_to(start[:, None], (n, w))
     # Derive the initial load/alive carries from cur0 (not fresh constants) so
@@ -256,8 +296,33 @@ def sample_walk_log(
     # requires carry in/out manual-axes to match.
     load0 = jnp.where(cur0 >= 0, 1.0, 1.0).astype(jnp.float32)
     alive0 = cur0 >= 0
-    steps = jnp.arange(cfg.max_walk_length, dtype=jnp.uint32)
-    _, (curs, loads) = jax.lax.scan(step, (cur0, load0, alive0), steps)
+
+    # Step 0 is peeled out of the scan: every lane of a node still sits at the
+    # node itself, so the neighbor-row fetch is ONE row per node (a contiguous
+    # slab for iota starts) instead of one random gather per (node, walk) lane
+    # — walks_per_node× fewer step-0 gathers, bit-identical results.
+    u_halt0 = _uniform_01(_hash_words(k0, k1, 0, global_node, walk_id))
+    u_pick0 = _uniform_01(_hash_words(k0, k1, 1, global_node, walk_id))
+    degf0, nxt0, wgt0 = lookup_start(start, u_pick0)
+    rec0 = (cur0, load0)  # alive0 is all-true at step 0
+    carry = transition(
+        (cur0, load0, alive0),
+        jnp.uint32(0),
+        jnp.broadcast_to(degf0, (n, w)),
+        jnp.broadcast_to(nxt0, (n, w)),
+        jnp.broadcast_to(wgt0, (n, w)),
+        u_halt0,
+    )
+
+    if cfg.max_walk_length == 1:
+        curs = rec0[0][None]
+        loads = rec0[1][None]
+        return WalkLog(curs=curs, loads=loads)
+
+    steps = jnp.arange(1, cfg.max_walk_length, dtype=jnp.uint32)
+    _, (curs_t, loads_t) = jax.lax.scan(step, carry, steps)
+    curs = jnp.concatenate([rec0[0][None], curs_t], axis=0)
+    loads = jnp.concatenate([rec0[1][None], loads_t], axis=0)
     return WalkLog(curs=curs, loads=loads)
 
 
