@@ -115,6 +115,14 @@ def _uniform_01(bits: jnp.ndarray) -> jnp.ndarray:
 PACKED_MAX_DEGREE = 16
 _F32_EXACT_INT = 1 << 24
 
+# Walk-locality hop tables: at step l every alive lane sits at one of the
+# max_degree^l exactly-l-step path endpoints of its start node, so the
+# neighbor rows can be fetched once per (node, endpoint) and lanes resolved by
+# an in-register id match — N*D^l row gathers instead of N*W. Used while the
+# fanout and the materialized table stay under these caps.
+HOP_MAX_FANOUT = 32
+HOP_MAX_BYTES = 1 << 30
+
 
 def _onehot_row_select(rows_nbr, rows_wgt, degf, u_pick):
     """Shared pick arithmetic over pre-fetched neighbor rows.
@@ -153,7 +161,7 @@ def _lookup_ell_flat(graph: PackedGraph):
         rows_wgt = graph.weights[start][:, None, :]
         return _onehot_row_select(rows_nbr, rows_wgt, degf, u_pick)
 
-    return lookup, lookup_start
+    return lookup, lookup_start, None
 
 
 def _lookup_ell_packed(graph: PackedGraph):
@@ -189,7 +197,7 @@ def _lookup_ell_packed(graph: PackedGraph):
         # shared across all walks_per_node lanes of that node.
         return _select(table[start][:, None, :], u_pick)
 
-    return lookup, lookup_start
+    return lookup, lookup_start, {"table": table, "select": _select}
 
 
 def _lookup_csr(graph: "CsrGraph"):
@@ -213,7 +221,7 @@ def _lookup_csr(graph: "CsrGraph"):
         nrows = graph.node_table[start][:, None, :]
         return _edge_select(nrows[..., 0], nrows[..., 1], u_pick)
 
-    return lookup, lookup_start
+    return lookup, lookup_start, None
 
 
 def _make_lookup(graph):
@@ -265,7 +273,7 @@ def sample_walk_log(
     start = jnp.asarray(node_offset, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     global_node = start.astype(jnp.uint32)[:, None]  # (N, 1)
     walk_id = jnp.arange(w, dtype=jnp.uint32)[None, :]  # (1, W)
-    lookup, lookup_start = _make_lookup(graph)
+    lookup, lookup_start, hop = _make_lookup(graph)
     inv_keep = jnp.float32(1.0 / (1.0 - cfg.p_halt))
 
     def transition(carry, l, degf, nxt, wgt, u_halt):
@@ -314,15 +322,69 @@ def sample_walk_log(
         u_halt0,
     )
 
-    if cfg.max_walk_length == 1:
-        curs = rec0[0][None]
-        loads = rec0[1][None]
-        return WalkLog(curs=curs, loads=loads)
+    recs = [rec0]
+    l_next = 1
 
-    steps = jnp.arange(1, cfg.max_walk_length, dtype=jnp.uint32)
-    _, (curs_t, loads_t) = jax.lax.scan(step, carry, steps)
-    curs = jnp.concatenate([rec0[0][None], curs_t], axis=0)
-    loads = jnp.concatenate([rec0[1][None], loads_t], axis=0)
+    # Walk-locality hop steps: an alive lane at step l has made exactly l
+    # neighbor moves, so its position is one of the D^l padded path endpoints
+    # of its start node. Fetch those rows once per (node, endpoint) and
+    # resolve lanes by an id match + one-hot MXU select — N·D^l random row
+    # gathers instead of N·W, a big win while D^l << walks_per_node. Results
+    # stay bit-identical: the matched row holds exactly the values the
+    # per-lane gather would return (dead lanes may mismatch; their lookup
+    # outputs are discarded by the alive mask in `transition`).
+    if hop is not None and cfg.max_walk_length > 1:
+        d = graph.max_degree
+        f_cols = hop["table"].shape[-1]
+        ids = graph.neighbors[start]  # (N, K) endpoints after 1 move
+        fanout = d
+        while l_next < cfg.max_walk_length:
+            if fanout > HOP_MAX_FANOUT or n * fanout * f_cols * 4 > HOP_MAX_BYTES:
+                break
+            cur, load, alive = carry
+            recs.append((cur, jnp.where(alive, load, 0.0)))
+            u_halt = _uniform_01(
+                _hash_words(k0, k1, l_next * 2, global_node, walk_id)
+            )
+            u_pick = _uniform_01(
+                _hash_words(k0, k1, l_next * 2 + 1, global_node, walk_id)
+            )
+            rows = hop["table"][ids]  # (N, K, F) — the step's only gather
+            match_ix = jnp.argmax(
+                cur[:, :, None] == ids[:, None, :], axis=-1
+            )  # first occurrence; duplicate ids share identical rows
+            onehot = jax.nn.one_hot(match_ix, fanout, dtype=jnp.float32)
+            lane_rows = jnp.einsum(
+                "nwk,nkf->nwf",
+                onehot,
+                rows,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            degf, nxt, wgt = hop["select"](lane_rows, u_pick)
+            carry = transition(carry, jnp.uint32(l_next), degf, nxt, wgt, u_halt)
+            l_next += 1
+            if (
+                l_next >= cfg.max_walk_length
+                or fanout * d > HOP_MAX_FANOUT
+                or n * fanout * d * f_cols * 4 > HOP_MAX_BYTES
+            ):
+                break
+            ids = graph.neighbors[ids.reshape(-1)].reshape(n, fanout * d)
+            fanout *= d
+
+    if l_next < cfg.max_walk_length:
+        steps = jnp.arange(l_next, cfg.max_walk_length, dtype=jnp.uint32)
+        _, (curs_t, loads_t) = jax.lax.scan(step, carry, steps)
+        curs = jnp.concatenate(
+            [jnp.stack([r[0] for r in recs]), curs_t], axis=0
+        )
+        loads = jnp.concatenate(
+            [jnp.stack([r[1] for r in recs]), loads_t], axis=0
+        )
+    else:
+        curs = jnp.stack([r[0] for r in recs])
+        loads = jnp.stack([r[1] for r in recs])
     return WalkLog(curs=curs, loads=loads)
 
 
