@@ -32,6 +32,7 @@ from .kernels import (
     step_matrices_for_adjacency,
 )
 from .modulators import diffusion_modulator, free_modulator_init, geometric_modulator
+from .pipeline import blocked_ell_features
 from .walker import (
     WalkConfig,
     WalkLog,

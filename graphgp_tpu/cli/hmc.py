@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--p-halt", type=float, default=0.1)
     p.add_argument("--max-walk-length", type=int, default=5)
     p.add_argument("--num-chains", type=int, default=4)
+    p.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="shard chains over this many devices (0 = all available if >1)",
+    )
     p.add_argument("--num-warmup", type=int, default=200)
     p.add_argument("--num-samples", type=int, default=300)
     p.add_argument("--num-leapfrog", type=int, default=12)
@@ -72,6 +76,15 @@ def main(argv=None):
         lambda q: exact.mll(feats, q, tr, y[tr], kind=args.kind),
         prior_std=args.prior_std,
     )
+    mesh = None
+    n_dev = len(jax.devices())
+    mesh_devices = args.mesh_devices or (n_dev if n_dev > 1 else 0)
+    if mesh_devices > 1:
+        from ..shard import make_mesh
+
+        mesh = make_mesh(mesh_devices, axis_name="chains")
+        print(f"sharding {args.num_chains} chains over {mesh_devices} devices")
+
     res = hmc.sample(
         log_post, fit.params, jax.random.PRNGKey(0),
         config=hmc.HMCConfig(
@@ -79,24 +92,32 @@ def main(argv=None):
             num_leapfrog=args.num_leapfrog,
         ),
         num_chains=args.num_chains,
+        mesh=mesh,
     )
     acc = np.asarray(res.accept_rate)
     print(f"accept rates: {acc.round(3)}  adapted step sizes: "
           f"{np.asarray(res.step_size).round(4)}")
 
-    # posterior summaries + simple split-chain R-hat on the log prob
-    lps = np.asarray(res.log_probs)
-    half = lps.shape[1] // 2
-    chains = np.concatenate([lps[:, :half], lps[:, half:]], axis=0)
-    w = chains.var(axis=1, ddof=1).mean()
-    b = half * chains.mean(axis=1).var(ddof=1)
-    rhat = float(np.sqrt((1 - 1 / half) + b / (half * w))) if w > 0 else float("nan")
+    # convergence diagnostics: split-chain R-hat on the log prob AND on every
+    # parameter element (the per-parameter view catches mixing failures the
+    # scalar log-prob summary can hide)
+    rhat = float(hmc.split_rhat(res.log_probs))
     print(f"split-chain R-hat (log prob): {rhat:.3f}")
+    rhat_tree = hmc.split_rhat_tree(res.samples)
+    param_rhats = {
+        name: float(np.max(np.asarray(r)))
+        for name, r in rhat_tree.items()
+    }
+    for name, r in sorted(param_rhats.items()):
+        print(f"split-chain R-hat ({name}): {r:.3f}")
 
     records: List[Dict] = [
         {"quantity": "point_rmse", "value": point_rmse},
         {"quantity": "point_nlpd", "value": point_nlpd},
         {"quantity": "rhat_logprob", "value": rhat},
+    ]
+    records += [
+        {"quantity": f"rhat_{name}", "value": r} for name, r in param_rhats.items()
     ]
     for c in range(args.num_chains):
         records.append({"quantity": f"accept_chain{c}", "value": float(acc[c])})

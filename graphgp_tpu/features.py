@@ -120,15 +120,27 @@ class EllStepMatrices:
         return jnp.sum(self.vals != 0)
 
 
+# Dead-lane sentinel: halted walks carry load 0, so their (frozen) positions
+# contribute nothing to M_l. Remapping them to int32-max merges every dead
+# lane of a row into ONE group that sorts *last* — it is dropped by the
+# capacity clip for free, so the required capacity is the max number of
+# distinct columns with nonzero mass, not the raw distinct-position count.
+_DEAD_COL = jnp.int32(2**31 - 1)
+
+
 def _consolidate_rows(
     cols: jnp.ndarray, vals: jnp.ndarray, capacity: int
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deduplicate (cols, vals) pairs along the last axis into ≤capacity slots.
 
-    cols: int32[..., W], vals: f32[..., W] → (int32[..., R], f32[..., R]).
-    Entries beyond capacity are dropped (callers pick capacity = max distinct
-    via :func:`suggest_row_capacity` for lossless consolidation).
+    cols: int32[..., W], vals: f32[..., W] →
+        (int32[..., R], f32[..., R], max_distinct scalar).
+
+    ``max_distinct`` is the largest per-row count of distinct *live* columns;
+    consolidation is lossless iff ``max_distinct <= capacity`` (blocked
+    pipelines use this to detect overflow and retry with a larger capacity).
     """
+    cols = jnp.where(vals == 0.0, _DEAD_COL, cols)
     order = jnp.argsort(cols, axis=-1)
     c = jnp.take_along_axis(cols, order, axis=-1)
     v = jnp.take_along_axis(vals, order, axis=-1)
@@ -139,18 +151,16 @@ def _consolidate_rows(
         ],
         axis=-1,
     )
-    # Zero-valued entries (halted walks with masked load) still occupy slots;
-    # push them to a dedicated "dead" key so they collapse together. We mark
-    # them by checking v == 0 *after* dedup instead: simpler — treat them as
-    # real entries; their summed value is 0 and matvec ignores them.
+    live = c != _DEAD_COL
+    max_distinct = jnp.max(jnp.sum(is_new & live, axis=-1))
     seg = jnp.cumsum(is_new, axis=-1) - 1  # (..., W) values in [0, W)
     seg_clip = jnp.minimum(seg, capacity - 1)
-    valid = seg < capacity
+    valid = (seg < capacity) & live
     out_vals = jnp.zeros((*c.shape[:-1], capacity), jnp.float32)
     out_cols = jnp.zeros((*c.shape[:-1], capacity), jnp.int32)
     out_vals = _scatter_add_lastaxis(out_vals, seg_clip, jnp.where(valid, v, 0.0))
     out_cols = _scatter_set_lastaxis(out_cols, seg_clip, c, valid)
-    return out_cols, out_vals
+    return out_cols, out_vals, max_distinct
 
 
 def _scatter_add_lastaxis(out, idx, vals):
@@ -189,14 +199,25 @@ def _scatter_set_lastaxis(out, idx, vals, valid):
     return res.reshape(shape)
 
 
+@jax.jit
+def max_row_distinct(log: WalkLog) -> jnp.ndarray:
+    """Device scalar: max count of distinct *live* visited nodes over all
+    (step, start) rows — the minimal lossless ELL row capacity."""
+    c = jnp.where(log.loads == 0.0, _DEAD_COL, log.curs)
+    c = jnp.sort(c, axis=-1)
+    is_new = jnp.concatenate(
+        [jnp.ones((*c.shape[:-1], 1), dtype=bool), c[..., 1:] != c[..., :-1]],
+        axis=-1,
+    )
+    return jnp.max(jnp.sum(is_new & (c != _DEAD_COL), axis=-1))
+
+
 def suggest_row_capacity(log: WalkLog, multiple: int = 8) -> int:
-    """Host-side: max distinct visited nodes over all (step, start) rows,
-    rounded up for lane alignment. Use as the static ELL capacity."""
-    curs = np.asarray(log.curs)
-    l, n, w = curs.shape
-    flat = np.sort(curs.reshape(l * n, w), axis=-1)
-    distinct = 1 + (flat[:, 1:] != flat[:, :-1]).sum(axis=-1)
-    cap = int(distinct.max(initial=1))
+    """Max distinct live nodes over all (step, start) rows, rounded up for
+    lane alignment. Use as the static ELL capacity. Computed on device (one
+    sort); only the scalar crosses to host."""
+    w = log.walks_per_node
+    cap = max(int(max_row_distinct(log)), 1)
     return min(((cap + multiple - 1) // multiple) * multiple, w)
 
 
@@ -211,7 +232,7 @@ def consolidate(
     l, n, w = log.curs.shape
     nt = num_target_nodes or n
     wpn = walks_per_node or w
-    cols, vals = _consolidate_rows(log.curs, log.loads / wpn, capacity)
+    cols, vals, _ = _consolidate_rows(log.curs, log.loads / wpn, capacity)
     return EllStepMatrices(cols=cols, vals=vals, num_target_nodes=nt)
 
 

@@ -81,12 +81,20 @@ def sample(
     key: jax.Array,
     config: HMCConfig = HMCConfig(),
     num_chains: int = 4,
+    mesh=None,
 ) -> HMCResult:
     """Run ``num_chains`` HMC chains (vmapped) with dual-averaging warmup.
 
     ``log_prob_fn(params_pytree) -> scalar`` is the unnormalized log
     posterior (e.g. exact.mll + prior terms). Chains start from
     ``init_params`` jittered with per-chain noise.
+
+    With ``mesh`` given, the chain axis is sharded over the mesh devices
+    (chains are embarrassingly parallel — zero collectives; the north-star
+    multi-chip HMC requirement, SURVEY §7 M6). ``num_chains`` is padded up to
+    a mesh-size multiple internally (extra chains computed then sliced off).
+    When ``num_chains`` is already a mesh multiple the sharded run is
+    numerically identical to the unsharded one (same per-chain keys).
     """
     flat0, spec = _flatten(init_params)
     dim = flat0.shape[0]
@@ -151,10 +159,47 @@ def sample(
         lps = lps[config.num_warmup :]
         return qs, lps, accepts / config.num_samples, jnp.exp(log_eps_bar)
 
-    chain_keys = jax.random.split(key, num_chains)
-    qs, lps, acc, eps = jax.vmap(one_chain)(chain_keys)
+    run_chains = jax.jit(jax.vmap(one_chain))
+    if mesh is None:
+        chain_keys = jax.random.split(key, num_chains)
+        qs, lps, acc, eps = run_chains(chain_keys)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        nd = mesh.devices.size
+        padded = ((num_chains + nd - 1) // nd) * nd
+        chain_keys = jax.random.split(key, padded)
+        sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+        chain_keys = jax.device_put(chain_keys, sharding)
+        qs, lps, acc, eps = run_chains(chain_keys)
+        if padded != num_chains:
+            qs, lps, acc, eps = (
+                qs[:num_chains], lps[:num_chains], acc[:num_chains], eps[:num_chains]
+            )
     samples = jax.vmap(jax.vmap(lambda q: _unflatten(q, spec)))(qs)
     return HMCResult(samples=samples, accept_rate=acc, step_size=eps, log_probs=lps)
+
+
+def split_rhat(x: jnp.ndarray) -> jnp.ndarray:
+    """Split-chain potential-scale-reduction R-hat (Gelman et al. / BDA3).
+
+    x: (num_chains, num_draws, *param_shape) → R-hat with shape *param_shape.
+    Each chain is split in half (2C half-chains) to detect within-chain
+    drift as well as between-chain disagreement.
+    """
+    c, s = x.shape[:2]
+    half = s // 2
+    chains = jnp.concatenate([x[:, :half], x[:, half : 2 * half]], axis=0)
+    w = chains.var(axis=1, ddof=1).mean(axis=0)
+    b = half * chains.mean(axis=1).var(axis=0, ddof=1)
+    var_plus = (half - 1) / half * w + b / half
+    return jnp.sqrt(var_plus / jnp.maximum(w, 1e-30))
+
+
+def split_rhat_tree(samples: Dict) -> Dict:
+    """Per-parameter split-chain R-hat over a samples pytree with leading
+    (chains, draws) axes; returns a pytree of per-element R-hat arrays."""
+    return jax.tree_util.tree_map(split_rhat, samples)
 
 
 def make_gp_log_posterior(

@@ -1,0 +1,156 @@
+"""Blocked walk→consolidate pipeline: million-node kernel builds on one chip.
+
+The reference's flagship regime is N=1e6 nodes × walks_per_node=1000 ×
+max_walk_length=5 (reference experiments/sparse/scalable_bo/run_bo.py:29-50),
+which its sparse sampler handles with O(nnz) memory by accumulating per-walk
+dict entries (reference efficient_graph_gp_sparse/random_walk_samplers_sparse/
+sparse_sampler.py:72-132). A monolithic TPU walk of that config would
+materialize a 40 GB (L, N, W) walk log — infeasible in HBM.
+
+This module walks *start-node blocks* under one ``lax.scan``: each block's
+(L, B, W) log lives only for its scan iteration and is consolidated on-device
+into ELL rows of static ``capacity`` before the next block starts. Peak HBM is
+one block log plus the output ELL tensor — both user-bounded — and nothing
+ever round-trips to host except two scalars (the capacity probe and the
+overflow check).
+
+Capacity protocol:
+  1. Probe: walk block 0, compute the max distinct live columns per row on
+     device (one sort, one scalar to host), pad with margin.
+  2. Run all blocks at that static capacity; each consolidation also reports
+     its max-distinct stat, reduced across blocks by the scan.
+  3. If any block overflowed (max_distinct > capacity) the whole pipeline
+     restarts with a larger capacity. The counter-based walk RNG keys on
+     global node ids, so a restart (or any change of block size) is
+     bit-identical — results never depend on the blocking.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .features import EllFeatures, EllStepMatrices, _consolidate_rows
+from .walker import WalkConfig, sample_walk_log
+
+# Default HBM budget for one block's transient (L, B, W) walk log. The output
+# ELL tensor is separate (L·N·capacity·8 bytes) — callers with huge N and fat
+# rows should shard over a mesh instead.
+DEFAULT_LOG_BUDGET_BYTES = 1 << 30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def auto_block_size(
+    num_nodes: int,
+    cfg: WalkConfig,
+    log_budget_bytes: int = DEFAULT_LOG_BUDGET_BYTES,
+) -> int:
+    """Largest start-node block whose (L, B, W) curs+loads log fits budget."""
+    per_node = max(cfg.max_walk_length, 1) * cfg.walks_per_node * 8
+    block = max(log_budget_bytes // per_node, 64)
+    if block >= num_nodes:
+        return num_nodes
+    return max(_round_up(block, 8) - 8, 64) if block > 64 else 64
+
+
+@partial(jax.jit, static_argnames=("cfg", "block_size"))
+def _probe_max_distinct(graph, key, cfg: WalkConfig, block_size: int):
+    log = sample_walk_log(
+        graph, key, cfg, node_offset=0, num_start_nodes=block_size
+    )
+    from .features import max_row_distinct
+
+    return max_row_distinct(log)
+
+
+@partial(jax.jit, static_argnames=("cfg", "capacity", "block_size", "num_blocks"))
+def _blocked_consolidate(
+    graph, key, cfg: WalkConfig, capacity: int, block_size: int, num_blocks: int
+):
+    inv_w = jnp.float32(1.0 / cfg.walks_per_node)
+
+    def body(_, bix):
+        log = sample_walk_log(
+            graph,
+            key,
+            cfg,
+            node_offset=bix * block_size,
+            num_start_nodes=block_size,
+        )
+        cols, vals, maxd = _consolidate_rows(log.curs, log.loads * inv_w, capacity)
+        return _, (cols, vals, maxd)
+
+    _, (cols, vals, maxds) = jax.lax.scan(
+        body, 0, jnp.arange(num_blocks, dtype=jnp.int32)
+    )
+    # (nb, L, B, R) → (L, nb·B, R)
+    l = cfg.max_walk_length
+    cols = jnp.moveaxis(cols, 0, 1).reshape(l, num_blocks * block_size, capacity)
+    vals = jnp.moveaxis(vals, 0, 1).reshape(l, num_blocks * block_size, capacity)
+    return cols, vals, jnp.max(maxds)
+
+
+def blocked_ell_features(
+    graph,
+    key: jax.Array,
+    cfg: WalkConfig,
+    *,
+    block_size: Optional[int] = None,
+    capacity: Optional[int] = None,
+    num_target_nodes: Optional[int] = None,
+    log_budget_bytes: int = DEFAULT_LOG_BUDGET_BYTES,
+    capacity_margin: float = 1.25,
+    multiple: int = 8,
+) -> EllFeatures:
+    """Walk + consolidate a graph of any size into ELL step matrices without
+    ever materializing the full (L, N, W) walk log.
+
+    Functional equivalent of reference
+    ``SparseRandomWalk.get_random_walk_matrices`` (sparse_sampler.py:72-132)
+    at its million-node operating point, as a device-resident blocked scan.
+
+    Args:
+        graph: PackedGraph / CsrGraph over the full node set (gather tables
+            must cover all reachable nodes).
+        block_size: start nodes per scan block (default: sized so the block
+            log fits ``log_budget_bytes``).
+        capacity: ELL row capacity; ``None`` probes block 0 and pads by
+            ``capacity_margin``, restarting on overflow (restart is
+            bit-identical thanks to the counter-based RNG).
+
+    Returns:
+        EllFeatures with (L, N, capacity) cols/vals on device.
+    """
+    n = graph.num_nodes
+    w = cfg.walks_per_node
+    nt = num_target_nodes or n
+    block = block_size or auto_block_size(n, cfg, log_budget_bytes)
+    block = min(block, n)
+    num_blocks = -(-n // block)
+
+    if capacity is None:
+        probed = max(int(_probe_max_distinct(graph, key, cfg, block)), 1)
+        capacity = min(_round_up(int(probed * capacity_margin), multiple), w)
+
+    while True:
+        cols, vals, maxd = _blocked_consolidate(
+            graph, key, cfg, capacity, block, num_blocks
+        )
+        maxd = int(maxd)
+        if maxd <= capacity or capacity >= w:
+            break
+        # Overflow: some later block had fatter rows than the probe. Rerun at
+        # the observed max (+margin). Rare; deterministic RNG → identical walks.
+        capacity = min(_round_up(int(maxd * capacity_margin), multiple), w)
+
+    if num_blocks * block != n:
+        cols = cols[:, :n, :]
+        vals = vals[:, :n, :]
+    return EllFeatures(
+        EllStepMatrices(cols=cols, vals=vals, num_target_nodes=nt)
+    )

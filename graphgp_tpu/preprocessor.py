@@ -69,13 +69,25 @@ def preprocess_graph(
     seed: int = 42,
     cache_dir: Optional[str] = None,
     mesh=None,
+    log_budget_bytes: Optional[int] = None,
 ) -> EllFeatures:
     """Adjacency → normalized Laplacian → sharded/unsharded walks →
     consolidated ELL step matrices, cached on disk.
 
     Equivalent of reference ``GraphPreprocessor.preprocess_graph``
     (graph_preprocessor.py:85-115) with the pickle cache replaced by npz.
+
+    When the monolithic (L, N, W) walk log would exceed ``log_budget_bytes``
+    (default: pipeline.DEFAULT_LOG_BUDGET_BYTES), the blocked scan pipeline is
+    used instead — the full log is never materialized, enabling the
+    reference's million-node regime (run_bo.py:29-50) on one chip. Blocking
+    never changes results (counter-based RNG keys on global node ids).
     """
+    from .pipeline import DEFAULT_LOG_BUDGET_BYTES, blocked_ell_features
+
+    budget = (
+        log_budget_bytes if log_budget_bytes is not None else DEFAULT_LOG_BUDGET_BYTES
+    )
     if cache_dir is not None:
         path = os.path.join(cache_dir, f"step_matrices_{_cache_key(adjacency, cfg, seed)}.npz")
         if os.path.exists(path):
@@ -83,14 +95,20 @@ def preprocess_graph(
 
     graph = pack_laplacian(adjacency)
     key = jax.random.PRNGKey(seed)
-    if mesh is not None:
-        from .shard import sharded_walk_log
-
-        log = sharded_walk_log(graph, key, cfg, mesh)
+    n = graph.num_nodes
+    log_bytes = cfg.max_walk_length * n * cfg.walks_per_node * 8
+    if mesh is None and log_bytes > budget:
+        feats = blocked_ell_features(graph, key, cfg, log_budget_bytes=budget)
+        mats = feats.mats
     else:
-        log = sample_walk_log(graph, key, cfg)
-    cap = suggest_row_capacity(log)
-    mats = consolidate(log, cap, walks_per_node=cfg.walks_per_node)
+        if mesh is not None:
+            from .shard import sharded_walk_log
+
+            log = sharded_walk_log(graph, key, cfg, mesh)
+        else:
+            log = sample_walk_log(graph, key, cfg)
+        cap = suggest_row_capacity(log)
+        mats = consolidate(log, cap, walks_per_node=cfg.walks_per_node)
 
     if cache_dir is not None:
         save_step_matrices(path, mats)

@@ -122,6 +122,43 @@ def shard_features(feats, mesh: Mesh):
     raise TypeError(f"unsupported features type {type(feats)!r}")
 
 
+def pad_features(feats, n_pad: int):
+    """Zero-pad a Features pytree's node axis (axis 1) up to ``n_pad`` rows.
+
+    Padded rows have identically-zero Φ rows (zero step-matrix rows / zero
+    loads), so they contribute nothing to any Φ product — padding is exact,
+    not approximate.
+    """
+    n = feats.num_nodes
+    if n_pad == n:
+        return feats
+    if n_pad < n:
+        raise ValueError(f"n_pad ({n_pad}) < num_nodes ({n})")
+    extra = n_pad - n
+
+    def pad(x):
+        widths = [(0, 0)] * x.ndim
+        widths[1] = (0, extra)
+        return jnp.pad(x, widths)
+
+    if isinstance(feats, DenseFeatures):
+        return DenseFeatures(pad(feats.step_matrices))
+    if isinstance(feats, EllFeatures):
+        m = feats.mats
+        return EllFeatures(
+            EllStepMatrices(
+                cols=pad(m.cols), vals=pad(m.vals),
+                num_target_nodes=m.num_target_nodes,
+            )
+        )
+    if isinstance(feats, LogFeatures):
+        return LogFeatures(
+            WalkLog(curs=pad(feats.log.curs), loads=pad(feats.log.loads)),
+            num_target_nodes=feats.num_target_nodes,
+        )
+    raise TypeError(f"unsupported features type {type(feats)!r}")
+
+
 def distributed_gram_solve(
     feats,
     params,
@@ -157,12 +194,10 @@ def distributed_gram_solve(
 
     axis = mesh.axis_names[0]
     nd = mesh.devices.size
-    n = feats.num_nodes
-    if n % nd:
-        raise ValueError(
-            f"distributed_gram_solve requires num_nodes ({n}) divisible by "
-            f"mesh size ({nd}); pad the feature rows first."
-        )
+    # Zero-pad the node axis up to a mesh-size multiple (exact: padded rows
+    # have zero Φ rows), so arbitrary N (e.g. Cora's 2485 on 8 chips) works.
+    n = _pad_to_multiple(feats.num_nodes, nd)
+    feats = pad_features(feats, n)
     block = n // nd
     lmax = feats.max_walk_length
     feats_sharded = shard_features(feats, mesh)

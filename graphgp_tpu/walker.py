@@ -119,9 +119,13 @@ _F32_EXACT_INT = 1 << 24
 # max_degree^l exactly-l-step path endpoints of its start node, so the
 # neighbor rows can be fetched once per (node, endpoint) and lanes resolved by
 # an in-register id match — N*D^l row gathers instead of N*W. Used while the
-# fanout and the materialized table stay under these caps.
+# fanout and the materialized intermediates stay under these caps, the fanout
+# amortizes (D^l < walks_per_node), and only for a bounded number of Python-
+# unrolled steps (degree-1 graphs keep fanout=1 forever; without the step cap
+# trace time would grow linearly with max_walk_length).
 HOP_MAX_FANOUT = 32
 HOP_MAX_BYTES = 1 << 30
+HOP_MAX_STEPS = 6
 
 
 def _onehot_row_select(rows_nbr, rows_wgt, degf, u_pick):
@@ -269,6 +273,13 @@ def sample_walk_log(
     """
     n = num_start_nodes if num_start_nodes is not None else graph.num_nodes
     w = cfg.walks_per_node
+    if cfg.max_walk_length == 0:
+        # Step 0 is peeled below, so guard the degenerate config explicitly:
+        # zero steps means zero step matrices (matches the pre-peel contract).
+        return WalkLog(
+            curs=jnp.zeros((0, n, w), jnp.int32),
+            loads=jnp.zeros((0, n, w), jnp.float32),
+        )
     k0, k1 = _key_words(key)
     start = jnp.asarray(node_offset, jnp.int32) + jnp.arange(n, dtype=jnp.int32)
     global_node = start.astype(jnp.uint32)[:, None]  # (N, 1)
@@ -338,8 +349,21 @@ def sample_walk_log(
         f_cols = hop["table"].shape[-1]
         ids = graph.neighbors[start]  # (N, K) endpoints after 1 move
         fanout = d
-        while l_next < cfg.max_walk_length:
-            if fanout > HOP_MAX_FANOUT or n * fanout * f_cols * 4 > HOP_MAX_BYTES:
+
+        def _hop_viable(fan: int) -> bool:
+            # Budget covers BOTH materialized intermediates of a hop step: the
+            # (N, fan, F) fetched rows AND the (N, W, fan) one-hot/compare —
+            # the latter dominates at large walks_per_node. The fan < w
+            # condition keeps the hop only while it does strictly fewer row
+            # gathers than the per-lane path it replaces.
+            return (
+                fan <= HOP_MAX_FANOUT
+                and fan < w
+                and max(n * fan * f_cols, n * w * fan) * 4 <= HOP_MAX_BYTES
+            )
+
+        while l_next < cfg.max_walk_length and l_next <= HOP_MAX_STEPS:
+            if not _hop_viable(fanout):
                 break
             cur, load, alive = carry
             recs.append((cur, jnp.where(alive, load, 0.0)))
@@ -364,11 +388,7 @@ def sample_walk_log(
             degf, nxt, wgt = hop["select"](lane_rows, u_pick)
             carry = transition(carry, jnp.uint32(l_next), degf, nxt, wgt, u_halt)
             l_next += 1
-            if (
-                l_next >= cfg.max_walk_length
-                or fanout * d > HOP_MAX_FANOUT
-                or n * fanout * d * f_cols * 4 > HOP_MAX_BYTES
-            ):
+            if l_next >= cfg.max_walk_length or not _hop_viable(fanout * d):
                 break
             ids = graph.neighbors[ids.reshape(-1)].reshape(n, fanout * d)
             fanout *= d

@@ -57,47 +57,30 @@ def test_step_matrices_unbiased(er_adj):
 
 
 def test_rng_shard_invariance(er_adj):
-    """Walking a node block with the right offset reproduces the full-graph
-    walk exactly — the property the reference lacks (results change with
-    n_processes; SURVEY §5.2)."""
+    """A node-block walk with the right global offset reproduces the exact
+    rows of the full-graph walk — the property the reference lacks (results
+    change with n_processes; SURVEY §5.2). The mesh-level version of this
+    property lives in tests/test_shard.py::test_sharded_walk_bit_identical."""
     graph = pack_laplacian(er_adj)
     cfg = WalkConfig(walks_per_node=7, p_halt=0.15, max_walk_length=4)
     key = jax.random.PRNGKey(11)
     full = sample_walk_log(graph, key, cfg)
 
-    import dataclasses
-
-    half = dataclasses.replace(
-        graph,
-        neighbors=graph.neighbors,  # gather tables stay global
-        weights=graph.weights,
-        degree=graph.degree,
-    )
-    n = graph.num_nodes
-    # emulate a shard owning nodes [24, 48): start states are the block, but
-    # we reuse the full gather tables (as the sharded walker does).
-    from graphgp_tpu.walker import WalkLog
-
-    # run on a sliced "start" by calling with node_offset and a sliced graph
-    sub = dataclasses.replace(
-        graph,
-        neighbors=graph.neighbors,
-        weights=graph.weights,
-        degree=graph.degree,
-        num_nodes=n,
-        max_degree=graph.max_degree,
-    )
-    # The walker starts walks from every row of the packed graph; to emulate a
-    # block we walk the full graph with offset 0 and compare against a second
-    # full walk — identical keys must give identical logs (determinism), and
-    # the per-node streams must only depend on (key, global node, walk).
+    # determinism: identical key → identical log
     full2 = sample_walk_log(graph, key, cfg)
     np.testing.assert_array_equal(np.asarray(full.curs), np.asarray(full2.curs))
 
-    # offset shifts streams: node i with offset d must match node i+d stream
-    # of an offset-0 walk *in distribution of randomness*, verified by
-    # checking stream equality on a ring-structured graph where rows are
-    # permutation-symmetric is overkill; instead check offset changes streams.
+    # block [24, 48) walked standalone against the full gather tables must be
+    # bit-identical to the corresponding rows of the full walk
+    block = sample_walk_log(graph, key, cfg, node_offset=24, num_start_nodes=24)
+    np.testing.assert_array_equal(
+        np.asarray(block.curs), np.asarray(full.curs[:, 24:48, :])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(block.loads), np.asarray(full.loads[:, 24:48, :])
+    )
+
+    # and a wrong offset must NOT reproduce the full walk
     shifted = sample_walk_log(graph, key, cfg, node_offset=5)
     assert not np.array_equal(np.asarray(full.curs), np.asarray(shifted.curs))
 
@@ -273,20 +256,64 @@ def test_mxu_walker_matches_gather(er_adj):
 
 def test_walk_rng_golden():
     """Golden values pin the counter-based RNG semantics: any change to the
-    hash or pick arithmetic (which silently changes every downstream result)
-    must consciously update these numbers."""
+    splitmix32 hash chain or the pick/halt arithmetic (which silently changes
+    every downstream result) must consciously update these numbers.
+
+    Pinned on the 4-cycle Laplacian (diag 1, off-diag -0.5, L-graph degree 3):
+    per-transition load factors are 3·1/0.8 = 3.75 (self-loop) and
+    3·(-0.5)/0.8 = -1.875 (neighbor). Values recorded 2026-08-19; both the
+    packed-ELL and CSR layouts must reproduce them bit-exactly.
+    """
+    import scipy.sparse as sp
+
+    from graphgp_tpu.graphs import csr_graph, normalized_laplacian_csr
+
+    adj = np.zeros((4, 4))
+    for u, v in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+        adj[u, v] = adj[v, u] = 1.0
+    cfg = WalkConfig(walks_per_node=3, p_halt=0.2, max_walk_length=3)
+    key = jax.random.PRNGKey(7)
+
+    # non-trivial golden trace at steps 1-2 (step 0 is always starts/load 1)
+    expected_curs1 = np.array(
+        [[3, 0, 0], [0, 0, 2], [3, 3, 2], [2, 0, 0]], np.int32
+    )
+    expected_curs2 = np.array(
+        [[3, 0, 0], [3, 1, 2], [0, 3, 2], [2, 1, 0]], np.int32
+    )
+    s, m = 3.75, -1.875  # self-loop / neighbor load factors
+    expected_loads1 = np.array(
+        [[m, 0, 0], [m, m, m], [m, m, 0], [m, m, m]], np.float32
+    )
+    expected_loads2 = np.array(
+        [[0, 0, 0], [m * m, m * m, m * s], [m * m, 0, 0], [m * s, m * m, m * s]],
+        np.float32,
+    )
+
+    for graph in (
+        pack_laplacian(adj),
+        csr_graph(normalized_laplacian_csr(sp.csr_matrix(adj))),
+    ):
+        log = sample_walk_log(graph, key, cfg)
+        curs = np.asarray(log.curs)
+        loads = np.asarray(log.loads)
+        np.testing.assert_array_equal(
+            curs[0], np.arange(4, dtype=np.int32)[:, None].repeat(3, 1)
+        )
+        np.testing.assert_allclose(loads[0], 1.0)
+        np.testing.assert_array_equal(curs[1], expected_curs1)
+        np.testing.assert_array_equal(curs[2], expected_curs2)
+        np.testing.assert_allclose(loads[1], expected_loads1, rtol=1e-6)
+        np.testing.assert_allclose(loads[2], expected_loads2, rtol=1e-6)
+
+
+def test_walk_length_zero_returns_empty():
+    """max_walk_length=0 yields an empty (0, N, W) log, not a peeled step."""
     adj = np.zeros((4, 4))
     for u, v in [(0, 1), (1, 2), (2, 3), (3, 0)]:
         adj[u, v] = adj[v, u] = 1.0
     graph = pack_laplacian(adj)
-    cfg = WalkConfig(walks_per_node=3, p_halt=0.2, max_walk_length=3)
-    log = sample_walk_log(graph, jax.random.PRNGKey(7), cfg)
-    golden_curs = np.asarray(log.curs)
-    golden_loads = np.asarray(log.loads)
-    # regenerate → identical (determinism)
-    log2 = sample_walk_log(graph, jax.random.PRNGKey(7), cfg)
-    np.testing.assert_array_equal(golden_curs, np.asarray(log2.curs))
-    # pinned spot values (recorded 2026-08-17, splitmix32 hash chain)
-    expected_step0_curs = np.arange(4, dtype=np.int32)[:, None].repeat(3, 1)
-    np.testing.assert_array_equal(golden_curs[0], expected_step0_curs)
-    assert np.allclose(golden_loads[0], 1.0)
+    cfg = WalkConfig(walks_per_node=3, p_halt=0.2, max_walk_length=0)
+    log = sample_walk_log(graph, jax.random.PRNGKey(0), cfg)
+    assert log.curs.shape == (0, 4, 3)
+    assert log.loads.shape == (0, 4, 3)
