@@ -227,8 +227,16 @@ class GRFThompson(Algorithm):
             self.cached_params = res.params
             self.last_training_size = observed_idx.size
 
+        # Exclude everything ever visited (tracked via update()) as well as
+        # the currently-observed set — the two can diverge when batch
+        # selection outpaces observation (reference restricts Thompson
+        # sampling to unvisited nodes, graph_bo/utils/bo_utils.py:269-276).
+        exclude = np.union1d(
+            np.fromiter(self.visited, dtype=np.int32, count=len(self.visited)),
+            observed_idx,
+        ).astype(np.int32)
         unvisited = np.setdiff1d(
-            np.arange(self.n_nodes, dtype=np.int32), observed_idx, assume_unique=False
+            np.arange(self.n_nodes, dtype=np.int32), exclude, assume_unique=False
         )
         sample = iterative.pathwise_predict(
             self.features,

@@ -20,6 +20,9 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--mesh-side", type=int, default=30)
     p.add_argument("--beta", type=float, default=10.0)
     p.add_argument("--noise-std", type=float, default=0.5)
@@ -30,7 +33,7 @@ def main(argv=None):
     p.add_argument("--train-steps", type=int, default=200)
     p.add_argument("--train-frac", type=float, default=0.5)
     p.add_argument("--results-dir", default="artifacts/results")
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     import jax
     import jax.numpy as jnp

@@ -56,8 +56,14 @@ def make_algorithm(name, data, feats, args, rng):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--graph-type", default="grid",
                    help="synthetic generator name or dataset name")
+    p.add_argument("--datasets", nargs="+", default=None,
+                   help="sweep multiple graph types/datasets (overrides "
+                        "--graph-type; YAML 'datasets' lands here)")
     p.add_argument("--n-nodes", type=int, default=1024)
     p.add_argument(
         "--algorithms", nargs="+",
@@ -79,7 +85,7 @@ def main(argv=None):
     p.add_argument("--results-dir", default="artifacts/results")
     p.add_argument("--cache-dir", default="artifacts/step_matrices")
     p.add_argument("--seed", type=int, default=42)
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     from .. import WalkConfig
     from ..bo import run_optimization
@@ -87,65 +93,93 @@ def main(argv=None):
     from ..preprocessor import preprocess_graph
     from ..utils.io import print_summary, save_results
 
-    if args.graph_type in synthetic.GENERATORS:
-        data = synthetic.generate(args.graph_type, args.n_nodes, seed=args.seed)
-    else:
+    def load_graph(graph_type):
+        if graph_type in synthetic.GENERATORS:
+            return synthetic.generate(graph_type, args.n_nodes, seed=args.seed)
         from ..data.database import GraphDataLoader
 
         loader = GraphDataLoader()
-        if args.graph_type not in loader.registry:
-            raise SystemExit(
-                f"unknown --graph-type {args.graph_type!r}; synthetic "
+        if graph_type not in loader.registry:
+            raise ValueError(
+                f"unknown graph type {graph_type!r}; synthetic "
                 f"generators: {sorted(synthetic.GENERATORS)}; datasets: "
                 f"{loader.available()}"
             )
-        data = loader(args.graph_type)
+        return loader(graph_type)
 
-    objective = data["y_observed"].astype(np.float32)
-    if args.gaussianize:
-        objective = gaussianize(objective)
-
-    needs_gp = any(a == "grf_thompson" for a in args.algorithms)
-    feats = None
-    if needs_gp:
-        cfg = WalkConfig(
-            walks_per_node=args.walks_per_node,
-            p_halt=args.p_halt,
-            max_walk_length=args.max_walk_length,
-        )
-        feats = preprocess_graph(
-            data["adjacency"], cfg, seed=args.seed, cache_dir=args.cache_dir
-        )
-
+    targets = args.datasets or [args.graph_type]
     all_records: List[Dict] = []
     seeds = [100 + 10 * i for i in range(args.runs)]
-    for algo_name in args.algorithms:
-        for seed in seeds:
-            rng = np.random.default_rng(seed)
-            algo = make_algorithm(algo_name, data, feats, args, rng)
-            print(f"== {algo_name} seed={seed} ==")
-            result = run_optimization(
-                algo,
-                objective,
-                n_iterations=args.iterations,
-                initial_points=args.initial_points,
-                batch_size=args.batch_size,
-                seed=seed,
-            )
-            for rec in result.records:
-                rec.update(
-                    {"algorithm": algo_name, "seed": seed,
-                     "graph_type": args.graph_type, "n_nodes": objective.shape[0]}
+    needs_gp = any(a == "grf_thompson" for a in args.algorithms)
+
+    for graph_type in targets:
+        # Sweep fault tolerance (reference run_graph_bo.py:171-175): one bad
+        # dataset or cell records an error row and the sweep continues.
+        try:
+            data = load_graph(graph_type)
+            objective = data["y_observed"].astype(np.float32)
+            if args.gaussianize:
+                objective = gaussianize(objective)
+            feats = None
+            if needs_gp:
+                cfg = WalkConfig(
+                    walks_per_node=args.walks_per_node,
+                    p_halt=args.p_halt,
+                    max_walk_length=args.max_walk_length,
                 )
-            all_records.extend(result.records)
-            print(
-                f"   final best={result.records[-1]['best_value']:.4f} "
-                f"regret={result.records[-1]['regret']:.4f}"
+                feats = preprocess_graph(
+                    data["adjacency"], cfg, seed=args.seed,
+                    cache_dir=args.cache_dir,
+                )
+        except Exception as e:  # noqa: BLE001 — sweep must survive any cell
+            print(f"!! {graph_type}: data/preprocess failed: {e}")
+            all_records.append(
+                {"graph_type": graph_type, "error": f"{type(e).__name__}: {e}"}
             )
+            continue
+
+        for algo_name in args.algorithms:
+            for seed in seeds:
+                try:
+                    rng = np.random.default_rng(seed)
+                    algo = make_algorithm(algo_name, data, feats, args, rng)
+                    print(f"== {graph_type} {algo_name} seed={seed} ==")
+                    result = run_optimization(
+                        algo,
+                        objective,
+                        n_iterations=args.iterations,
+                        initial_points=args.initial_points,
+                        batch_size=args.batch_size,
+                        seed=seed,
+                    )
+                    for rec in result.records:
+                        rec.update(
+                            {"algorithm": algo_name, "seed": seed,
+                             "graph_type": graph_type,
+                             "n_nodes": objective.shape[0]}
+                        )
+                    all_records.extend(result.records)
+                    print(
+                        f"   final best={result.records[-1]['best_value']:.4f} "
+                        f"regret={result.records[-1]['regret']:.4f}"
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(f"!! {graph_type}/{algo_name}/seed={seed} failed: {e}")
+                    all_records.append(
+                        {"graph_type": graph_type, "algorithm": algo_name,
+                         "seed": seed, "error": f"{type(e).__name__}: {e}"}
+                    )
 
     path = save_results(all_records, args.results_dir, "bo", config=vars(args))
-    final = [r for r in all_records if r["iteration"] == args.iterations]
-    print_summary(final, ["algorithm"], ["best_value", "regret"])
+    final = [
+        r for r in all_records
+        if r.get("iteration") == args.iterations and "error" not in r
+    ]
+    if final:
+        print_summary(final, ["graph_type", "algorithm"], ["best_value", "regret"])
+    n_err = sum("error" in r for r in all_records)
+    if n_err:
+        print(f"{n_err} sweep cell(s) failed; error rows recorded")
     print(f"results -> {path}")
     return all_records
 

@@ -54,6 +54,9 @@ def synthetic_community_graph(n_nodes, num_classes, seed, p_in=0.05, p_out=0.002
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--cora-dir", default=None,
                    help="directory with cora.cites/cora.content (real protocol)")
     p.add_argument("--n-nodes", type=int, default=400)
@@ -69,7 +72,7 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--results-dir", default="artifacts/results")
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     import jax
     import jax.numpy as jnp

@@ -19,6 +19,9 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--graph-type", default="grid")
     p.add_argument("--n-nodes", type=int, default=400)
     p.add_argument("--kind", default="diffusion", choices=["diffusion", "free"])
@@ -36,7 +39,7 @@ def main(argv=None):
     p.add_argument("--prior-std", type=float, default=2.0)
     p.add_argument("--train-frac", type=float, default=0.5)
     p.add_argument("--results-dir", default="artifacts/results")
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     import jax
     import jax.numpy as jnp

@@ -24,7 +24,17 @@ import numpy as np
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--graph-type", default="grid")
+    p.add_argument(
+        "--pems-npz", default=None,
+        help="pre-built PEMS traffic graph npz (CSR triplets A_* + X, y — "
+             "the reference's San Jose sensor graph, built offline from "
+             "OSMnx per traffic_utils/preprocessing.py:71-182); overrides "
+             "--graph-type",
+    )
     p.add_argument("--n-nodes", type=int, default=900)
     p.add_argument("--num-train", type=int, default=250)
     p.add_argument("--walks", type=int, nargs="+", default=[1, 4, 16, 64, 256, 1024])
@@ -35,7 +45,7 @@ def main(argv=None):
     p.add_argument("--gnn-baseline", action="store_true",
                    help="also train the GCN regression baseline")
     p.add_argument("--results-dir", default="artifacts/results")
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     import jax
     import jax.numpy as jnp
@@ -48,7 +58,14 @@ def main(argv=None):
     from ..utils.io import print_summary, save_results
     from ..walker import sample_dense_step_matrices
 
-    if args.graph_type in synthetic.GENERATORS:
+    if args.pems_npz:
+        from ..data.database import _load_csr_npz
+
+        adj_pems, node_ids, y_pems = _load_csr_npz(args.pems_npz)
+        data = {"adjacency": adj_pems, "node_ids": node_ids,
+                "y_observed": np.asarray(y_pems, np.float32)}
+        print(f"PEMS graph: {adj_pems.shape[0]} sensors from {args.pems_npz}")
+    elif args.graph_type in synthetic.GENERATORS:
         data = synthetic.generate(args.graph_type, args.n_nodes, seed=0)
     else:
         from ..data.database import GraphDataLoader

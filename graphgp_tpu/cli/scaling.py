@@ -24,9 +24,8 @@ def run_rw_phase(sizes, cfg_args, records):
     import jax
     import jax.numpy as jnp
 
-    from .. import WalkConfig, pack_laplacian, sample_walk_log
+    from .. import WalkConfig, blocked_ell_features, pack_laplacian
     from ..data.synthetic import generate_ring_data
-    from ..features import consolidate, suggest_row_capacity
     from ..utils.profiling import walks_per_second
 
     cfg = WalkConfig(
@@ -37,16 +36,19 @@ def run_rw_phase(sizes, cfg_args, records):
     for n in sizes:
         data = generate_ring_data(n, seed=cfg_args.seed)
         graph = pack_laplacian(data["adjacency"])
-        key = jax.random.PRNGKey(cfg_args.seed)
-        # compile + warm
-        log = sample_walk_log(graph, key, cfg)
-        float(jnp.sum(log.loads))
+        # Timed quantity = the full kernel build (walk + consolidation into
+        # ELL step matrices), the deliverable of the reference's RW benchmark
+        # (run_scaling_experiment.py:329-379). Blocked pipeline handles any N.
+        feats = blocked_ell_features(graph, jax.random.PRNGKey(cfg_args.seed), cfg)
+        float(jnp.sum(feats.mats.vals))  # compile + warm
         t0 = time.time()
-        log = sample_walk_log(graph, jax.random.PRNGKey(cfg_args.seed + 1), cfg)
-        float(jnp.sum(log.loads))
+        feats = blocked_ell_features(
+            graph, jax.random.PRNGKey(cfg_args.seed + 1), cfg,
+            capacity=feats.mats.row_capacity,
+        )
+        float(jnp.sum(feats.mats.vals))
         dt = time.time() - t0
-        cap = suggest_row_capacity(log)
-        mats = consolidate(log, cap, walks_per_node=cfg.walks_per_node)
+        mats = feats.mats
         nnz = int(mats.nnz())
         dense_bytes = cfg.max_walk_length * n * n * 4
         ell_bytes = int(np.prod(mats.cols.shape)) * 8
@@ -154,6 +156,9 @@ def run_gp_phase(sizes, cfg_args, records, exact_mode=False):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--sizes", type=int, nargs="+", default=[256, 1024, 4096])
     p.add_argument("--walks-per-node", type=int, default=100)
     p.add_argument("--p-halt", type=float, default=0.1)
@@ -168,17 +173,31 @@ def main(argv=None):
     p.add_argument("--exact-only", action="store_true")
     p.add_argument("--results-dir", default="artifacts/results")
     p.add_argument("--cache-dir", default="artifacts/step_matrices")
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     records: List[Dict] = []
     do_all = not (args.rw_only or args.gp_only or args.exact_only)
+
+    def run_phase(fn, sizes, phase_name, **kw):
+        # per-size fault tolerance (reference semantics: record error row,
+        # continue the sweep — ablation_study.py:167-173)
+        for n in sizes:
+            try:
+                fn([n], args, records, **kw)
+            except Exception as e:  # noqa: BLE001
+                print(f"!! {phase_name} n={n} failed: {e}")
+                records.append(
+                    {"phase": phase_name, "n_nodes": n,
+                     "error": f"{type(e).__name__}: {e}"}
+                )
+
     if args.rw_only or do_all:
-        run_rw_phase(args.sizes, args, records)
+        run_phase(run_rw_phase, args.sizes, "rw")
     if args.gp_only or do_all:
-        run_gp_phase(args.sizes, args, records, exact_mode=False)
+        run_phase(run_gp_phase, args.sizes, "iterative_gp", exact_mode=False)
     if args.exact_only or do_all:
         exact_sizes = [n for n in args.sizes if n <= 4096]
-        run_gp_phase(exact_sizes, args, records, exact_mode=True)
+        run_phase(run_gp_phase, exact_sizes, "exact_gp", exact_mode=True)
 
     from ..utils.io import save_results
 

@@ -86,19 +86,17 @@ def synthetic_wind_speed(lat, lon, seed=0):
     return (jets + waves + rng.normal(0, 1.0, lat_g.shape)).ravel().astype(np.float32)
 
 
-def orbit_track_nodes(lat, lon, inclination=97.0, n_orbits=8, swath_deg=4.0):
-    """Node indices under an inclined-orbit ground track (analytic stand-in
-    for the reference's skyfield Aeolus TLE propagation,
-    wind_experiment.py:124-180)."""
-    n_lat, n_lon = len(lat), len(lon)
+def orbit_track_from_coords(lat_g, lon_g, inclination=97.0, n_orbits=8,
+                            swath_deg=4.0):
+    """Node indices under an inclined-orbit ground track, for arbitrary
+    per-node (lat, lon) coordinates (analytic stand-in for the reference's
+    skyfield Aeolus TLE propagation, wind_experiment.py:124-180)."""
     t = np.linspace(0, n_orbits * 2 * np.pi, n_orbits * 400)
     inc = np.deg2rad(inclination)
     track_lat = np.rad2deg(np.arcsin(np.sin(inc) * np.sin(t)))
     # longitude drifts by earth rotation across orbits
     track_lon = (np.rad2deg(np.arctan2(np.cos(inc) * np.sin(t), np.cos(t)))
                  - (t / (2 * np.pi)) * (360.0 / n_orbits)) % 360.0 - 180.0
-    lat_g = np.meshgrid(lat, lon, indexing="ij")[0].ravel()
-    lon_g = np.meshgrid(lat, lon, indexing="ij")[1].ravel()
     # vectorized membership: node within swath of ANY track sample
     d_lat = np.abs(lat_g[:, None] - track_lat[None, :])
     d_lon = np.abs(((lon_g[:, None] - track_lon[None, :] + 180) % 360) - 180)
@@ -106,8 +104,21 @@ def orbit_track_nodes(lat, lon, inclination=97.0, n_orbits=8, swath_deg=4.0):
     return np.flatnonzero(near).astype(np.int32)
 
 
+def orbit_track_nodes(lat, lon, inclination=97.0, n_orbits=8, swath_deg=4.0):
+    """Grid version of :func:`orbit_track_from_coords` over lat×lon axes."""
+    lat_g = np.meshgrid(lat, lon, indexing="ij")[0].ravel()
+    lon_g = np.meshgrid(lat, lon, indexing="ij")[1].ravel()
+    return orbit_track_from_coords(
+        lat_g, lon_g, inclination=inclination, n_orbits=n_orbits,
+        swath_deg=swath_deg,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    from ..utils.config import add_config_flag, parse_with_config
+
+    add_config_flag(p)
     p.add_argument("--wind-npz", default=None,
                    help="reference processed wind npz (A_* triplets + X, y)")
     p.add_argument("--n-lat", type=int, default=19)
@@ -121,7 +132,7 @@ def main(argv=None):
     p.add_argument("--num-pathwise-samples", type=int, default=200)
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--results-dir", default="artifacts/results")
-    args = p.parse_args(argv)
+    args, _cfg = parse_with_config(p, argv)
 
     import jax
     import jax.numpy as jnp
@@ -137,9 +148,26 @@ def main(argv=None):
 
         adj, _, y_raw = _load_csr_npz(args.wind_npz)
         n = adj.shape[0]
-        # training mask must come with real data; fall back to random 30%
-        rng = np.random.default_rng(0)
-        track = np.sort(rng.choice(n, size=n // 3, replace=False)).astype(np.int32)
+        # Training set, in fidelity order (reference wind npz schema,
+        # wind_interpolation/*/load_data.ipynb final cell):
+        #   1. X_train — the actual Aeolus-track node indices, if saved;
+        #   2. coord_mapping — per-node (lat, lon), through the analytic
+        #      orbit-track membership;
+        #   3. random 30% (last resort; not the reference protocol).
+        with np.load(args.wind_npz, allow_pickle=True) as z:
+            if "X_train" in z.files:
+                track = np.sort(np.asarray(z["X_train"], np.int32))
+                print("wind npz: using saved Aeolus-track training nodes")
+            elif "coord_mapping" in z.files:
+                coords = np.asarray(z["coord_mapping"], np.float64)
+                track = orbit_track_from_coords(coords[:, 0], coords[:, 1])
+                print("wind npz: orbit track derived from coord_mapping")
+            else:
+                rng = np.random.default_rng(0)
+                track = np.sort(
+                    rng.choice(n, size=n // 3, replace=False)
+                ).astype(np.int32)
+                print("wind npz: no track info; random 30% train split")
     else:
         lat = np.linspace(-90, 90, args.n_lat)
         lon = np.linspace(-180, 180, args.n_lon, endpoint=False)

@@ -93,8 +93,9 @@ def sample(
     (chains are embarrassingly parallel — zero collectives; the north-star
     multi-chip HMC requirement, SURVEY §7 M6). ``num_chains`` is padded up to
     a mesh-size multiple internally (extra chains computed then sliced off).
-    When ``num_chains`` is already a mesh multiple the sharded run is
-    numerically identical to the unsharded one (same per-chain keys).
+    Sharded and unsharded runs use the same per-chain keys but may diverge
+    trajectory-wise (XLA compiles differently-partitioned programs and HMC
+    amplifies rounding) — they are statistically equivalent, not bitwise.
     """
     flat0, spec = _flatten(init_params)
     dim = flat0.shape[0]

@@ -19,8 +19,8 @@ class ExperimentConfig:
     """Shared experiment configuration (superset of the reference's fields,
     config_loader.py:6-58)."""
 
-    # experiment selection
-    datasets: List[str] = field(default_factory=lambda: ["ring"])
+    # experiment selection (empty = driver's single --graph-type is used)
+    datasets: List[str] = field(default_factory=list)
     algorithms: List[str] = field(
         default_factory=lambda: ["random_search", "bfs", "grf_thompson"]
     )
@@ -118,3 +118,45 @@ def load_config_from_yaml(path: str) -> ExperimentConfig:
 
 def to_dict(cfg: ExperimentConfig) -> Dict[str, Any]:
     return dataclasses.asdict(cfg)
+
+
+# argparse dest → ExperimentConfig field, where the names differ
+_DEST_ALIASES = {
+    "cache_dir": "step_matrices_dir",
+    "seed": "random_walk_seed",
+    "kind": "kernel_kind",
+}
+
+
+def argparse_defaults_from_config(cfg: ExperimentConfig, parser) -> Dict[str, Any]:
+    """Map a loaded config onto a driver's argparse defaults.
+
+    Drivers call ``parser.set_defaults(**argparse_defaults_from_config(...))``
+    before parsing, so explicit CLI flags still override YAML values — the
+    reference's YAML→ExperimentConfig flow (config_loader.py:61-115) with
+    flag-level override on top.
+    """
+    out: Dict[str, Any] = {}
+    for action in parser._actions:
+        dest = action.dest
+        field = _DEST_ALIASES.get(dest, dest)
+        if hasattr(cfg, field):
+            out[dest] = getattr(cfg, field)
+    return out
+
+
+def add_config_flag(parser) -> None:
+    parser.add_argument(
+        "--config", default=None, metavar="YAML",
+        help="YAML ExperimentConfig; CLI flags override its values",
+    )
+
+
+def parse_with_config(parser, argv):
+    """Two-stage parse: peek at --config, fold it into defaults, re-parse."""
+    pre_args, _ = parser.parse_known_args(argv)
+    cfg = None
+    if getattr(pre_args, "config", None):
+        cfg = load_config_from_yaml(pre_args.config)
+        parser.set_defaults(**argparse_defaults_from_config(cfg, parser))
+    return parser.parse_args(argv), cfg

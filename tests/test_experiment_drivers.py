@@ -163,6 +163,148 @@ def test_gcn_baseline_learns():
     assert rmse < float(jnp.std(y))  # beats predicting the mean
 
 
+def _write_csr_npz(path, adj, y, extra=None):
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(adj)
+    fields = dict(
+        A_data=a.data, A_indices=a.indices, A_indptr=a.indptr,
+        A_shape=np.asarray(a.shape), X=np.arange(a.shape[0]), y=y,
+    )
+    fields.update(extra or {})
+    np.savez(path, **fields)
+
+
+def test_wind_npz_uses_saved_track(tmp_path, capsys):
+    """Real-data wind path must honor the npz's Aeolus-track training nodes
+    (reference protocol), not a random split."""
+    from graphgp_tpu.cli.wind import build_sphere_grid_graph, main, synthetic_wind_speed
+
+    lat = np.linspace(-90, 90, 7)
+    lon = np.linspace(-180, 180, 12, endpoint=False)
+    adj = build_sphere_grid_graph(lat, lon)
+    y = synthetic_wind_speed(lat, lon)
+    track = np.arange(0, 84, 3, dtype=np.int32)  # fabricated "Aeolus" track
+    path = tmp_path / "wind.npz"
+    _write_csr_npz(path, adj, y, extra={"X_train": track, "y_train": y[track]})
+
+    records = main([
+        "--wind-npz", str(path),
+        "--walks", "40",
+        "--max-walk-length", "3",
+        "--train-steps", "20",
+        "--num-pathwise-samples", "8",
+        "--seeds", "1",
+        "--results-dir", str(tmp_path),
+    ])
+    assert all(np.isfinite(r["rmse"]) for r in records)
+    out = capsys.readouterr().out
+    assert "using saved Aeolus-track training nodes" in out
+    assert f"train (orbit track) {track.size}" in out
+
+
+def test_regression_pems_npz(tmp_path):
+    """PEMS pre-built npz (CSR triplets) drives the full traffic protocol."""
+    from graphgp_tpu.cli.regression import main
+    from graphgp_tpu.data.synthetic import generate_grid_data
+
+    d = generate_grid_data(100, seed=3)  # stand-in sensor graph
+    path = tmp_path / "pems.npz"
+    _write_csr_npz(path, d["adjacency"], d["y_observed"].astype(np.float32))
+
+    records = main([
+        "--pems-npz", str(path),
+        "--num-train", "50",
+        "--walks", "50",
+        "--max-walk-length", "3",
+        "--train-steps", "40",
+        "--seeds", "1",
+        "--results-dir", str(tmp_path),
+    ])
+    kernels = {r["kernel"] for r in records}
+    assert "exact_diffusion" in kernels and "grf_diffusion" in kernels
+    assert all(np.isfinite(r["rmse"]) for r in records)
+
+
+def test_bo_yaml_sweep_survives_failure(tmp_path):
+    """YAML-driven multi-dataset BO sweep: an unknown dataset in the list
+    records an error row and the remaining datasets still complete
+    (reference fault-tolerance semantics, run_graph_bo.py:171-175)."""
+    import pandas as pd
+
+    from graphgp_tpu.cli.bo import main
+
+    yaml_path = tmp_path / "exp.yaml"
+    yaml_path.write_text(
+        "datasets: [circle, no_such_dataset, grid]\n"
+        "algorithms: [random_search, bfs]\n"
+        "bo_parameters:\n"
+        "  iterations: 3\n"
+        "  runs: 2\n"
+        "  initial_points: 5\n"
+        "  batch_size: 1\n"
+        "grf_parameters:\n"
+        "  n_nodes: 64\n"
+        "  walks_per_node: 20\n"
+        "  max_walk_length: 3\n"
+        f"directories:\n"
+        f"  results: {tmp_path / 'results'}\n"
+        f"  step_matrices: {tmp_path / 'cache'}\n"
+    )
+    records = main(["--config", str(yaml_path)])
+
+    errors = [r for r in records if "error" in r]
+    assert len(errors) == 1 and errors[0]["graph_type"] == "no_such_dataset"
+    ok = [r for r in records if "error" not in r]
+    assert {r["graph_type"] for r in ok} == {"circle", "grid"}
+    assert {r["algorithm"] for r in ok} == {"random_search", "bfs"}
+    # combined CSV written and loadable
+    df = pd.read_csv(tmp_path / "results" / "bo.csv")
+    assert "error" in df.columns and len(df) == len(records)
+
+
+def test_config_flag_cli_override(tmp_path):
+    """Explicit CLI flags override YAML values."""
+    from graphgp_tpu.cli.bo import main
+
+    yaml_path = tmp_path / "exp.yaml"
+    yaml_path.write_text(
+        "graph_type: circle\n"
+        "algorithms: [random_search]\n"
+        "bo_parameters:\n"
+        "  iterations: 2\n"
+        "  runs: 3\n"
+        "  initial_points: 4\n"
+        "  batch_size: 1\n"
+        "grf_parameters:\n"
+        "  n_nodes: 32\n"
+        f"directories:\n"
+        f"  results: {tmp_path / 'results'}\n"
+        f"  step_matrices: {tmp_path / 'cache'}\n"
+    )
+    records = main(["--config", str(yaml_path), "--runs", "1"])
+    assert {r["seed"] for r in records} == {100}  # one run, not three
+    assert all(r["graph_type"] == "circle" for r in records)
+
+
+def test_run_all_orchestrator(tmp_path):
+    from graphgp_tpu.cli.run_all import main
+
+    records = main([
+        "--graph-types", "circle", "grid",
+        "--n-nodes", "64",
+        "--runs", "1",
+        "--iterations", "3",
+        "--algorithms", "random_search",
+        "--initial-points", "5",
+        "--results-dir", str(tmp_path),
+        "--cache-dir", str(tmp_path / "cache"),
+    ])
+    ok = [r for r in records if "error" not in r]
+    assert {r["graph_type"] for r in ok} == {"circle", "grid"}
+    assert (tmp_path / "bo_all_graphs.csv").exists()
+
+
 def test_hmc_driver_small(tmp_path):
     from graphgp_tpu.cli.hmc import main
 
