@@ -35,10 +35,14 @@ import jax.numpy as jnp
 from .features import EllFeatures, EllStepMatrices, _consolidate_rows
 from .walker import WalkConfig, sample_walk_log
 
-# Default HBM budget for one block's transient (L, B, W) walk log. The output
-# ELL tensor is separate (L·N·capacity·8 bytes) — callers with huge N and fat
-# rows should shard over a mesh instead.
-DEFAULT_LOG_BUDGET_BYTES = 1 << 30
+# Default HBM budget for one block's transient (L, B, W) walk log. The
+# consolidation sort materializes ~4× this (argsort keys/values + outputs),
+# and the output ELL tensor (L·N·capacity·8 bytes, ×2 transient during the
+# final transpose) is separate — so the realistic peak is roughly
+# 4×budget + 2×ELL. 256 MB keeps the flagship N=1e6 × wpn=1000 × L=5 build
+# comfortably inside a 16 GB chip. Callers with huge N and fat rows should
+# shard over a mesh instead.
+DEFAULT_LOG_BUDGET_BYTES = 256 << 20
 
 
 def _round_up(x: int, m: int) -> int:
@@ -73,8 +77,17 @@ def _blocked_consolidate(
     graph, key, cfg: WalkConfig, capacity: int, block_size: int, num_blocks: int
 ):
     inv_w = jnp.float32(1.0 / cfg.walks_per_node)
+    l = cfg.max_walk_length
+    n_pad = num_blocks * block_size
+    # The output ELL rides the scan carry and each block lands via
+    # dynamic_update_slice — XLA aliases the carry buffer inside the while
+    # loop, so exactly ONE (L, N, R) cols/vals pair is ever resident (a
+    # stacked scan output would cost 2× during the final transpose).
+    cols0 = jnp.zeros((l, n_pad, capacity), jnp.int32)
+    vals0 = jnp.zeros((l, n_pad, capacity), jnp.float32)
 
-    def body(_, bix):
+    def body(carry, bix):
+        cols_acc, vals_acc, maxd_acc = carry
         log = sample_walk_log(
             graph,
             key,
@@ -83,16 +96,17 @@ def _blocked_consolidate(
             num_start_nodes=block_size,
         )
         cols, vals, maxd = _consolidate_rows(log.curs, log.loads * inv_w, capacity)
-        return _, (cols, vals, maxd)
+        start = bix * block_size
+        cols_acc = jax.lax.dynamic_update_slice(cols_acc, cols, (0, start, 0))
+        vals_acc = jax.lax.dynamic_update_slice(vals_acc, vals, (0, start, 0))
+        return (cols_acc, vals_acc, jnp.maximum(maxd_acc, maxd)), None
 
-    _, (cols, vals, maxds) = jax.lax.scan(
-        body, 0, jnp.arange(num_blocks, dtype=jnp.int32)
+    (cols, vals, maxd), _ = jax.lax.scan(
+        body,
+        (cols0, vals0, jnp.int32(0)),
+        jnp.arange(num_blocks, dtype=jnp.int32),
     )
-    # (nb, L, B, R) → (L, nb·B, R)
-    l = cfg.max_walk_length
-    cols = jnp.moveaxis(cols, 0, 1).reshape(l, num_blocks * block_size, capacity)
-    vals = jnp.moveaxis(vals, 0, 1).reshape(l, num_blocks * block_size, capacity)
-    return cols, vals, jnp.max(maxds)
+    return cols, vals, maxd
 
 
 def blocked_ell_features(
