@@ -31,6 +31,13 @@ from .kernels import (
     grf_kernel_unbiased,
     step_matrices_for_adjacency,
 )
+from .features import (
+    DenseFeatures,
+    EllFeatures,
+    LogFeatures,
+    StencilFeatures,
+    ell_to_stencil,
+)
 from .modulators import diffusion_modulator, free_modulator_init, geometric_modulator
 from .pipeline import blocked_ell_features
 from .walker import (

@@ -139,74 +139,94 @@ def _consolidate_rows(
     ``max_distinct`` is the largest per-row count of distinct *live* columns;
     consolidation is lossless iff ``max_distinct <= capacity`` (blocked
     pipelines use this to detect overflow and retry with a larger capacity).
+
+    TPU implementation notes (measured on v5e): this is the pipeline's hot op,
+    so every stage is chosen for the hardware —
+      * batch dims are flattened to 2D and the (cols, vals) pair goes through
+        ONE ``lax.sort`` with vals bit-cast to int32 (argsort+gather on a 3D
+        operand compiles to a ~1000× slower sort variant);
+      * an ``optimization_barrier`` stops XLA fusing the dead-lane ``where``
+        into the sort comparator (fused producers put lax.sort on a slow path);
+      * per-segment totals come from a hand-rolled segmented scan, and
+        compaction into the ≤capacity output slots is a SECOND stable sort on
+        an is-last-of-segment key — row-wise ``take_along_axis`` gathers cost
+        ~36 ms each at this shape (vs ~50 ms for a whole 33.5M-element pair
+        sort), so a binary-search-and-gather extraction was 5× slower, and
+        TPU scatter-adds were 10× slower still.
     """
-    cols = jnp.where(vals == 0.0, _DEAD_COL, cols)
-    order = jnp.argsort(cols, axis=-1)
-    c = jnp.take_along_axis(cols, order, axis=-1)
-    v = jnp.take_along_axis(vals, order, axis=-1)
+    batch_shape = cols.shape[:-1]
+    w = cols.shape[-1]
+    b = int(np.prod(batch_shape)) if batch_shape else 1
+    c = jnp.where(vals == 0.0, _DEAD_COL, cols).reshape(b, w)
+    vbits = jax.lax.bitcast_convert_type(
+        vals.reshape(b, w).astype(jnp.float32), jnp.int32
+    )
+    c, vbits = jax.lax.optimization_barrier((c, vbits))
+    c, vbits = jax.lax.sort((c, vbits), dimension=-1, num_keys=1)
+    v = jax.lax.bitcast_convert_type(vbits, jnp.float32)
+
     is_new = jnp.concatenate(
-        [
-            jnp.ones((*c.shape[:-1], 1), dtype=bool),
-            c[..., 1:] != c[..., :-1],
-        ],
-        axis=-1,
+        [jnp.ones((b, 1), dtype=bool), c[:, 1:] != c[:, :-1]], axis=-1
     )
     live = c != _DEAD_COL
     max_distinct = jnp.max(jnp.sum(is_new & live, axis=-1))
-    seg = jnp.cumsum(is_new, axis=-1) - 1  # (..., W) values in [0, W)
-    seg_clip = jnp.minimum(seg, capacity - 1)
-    valid = (seg < capacity) & live
-    out_vals = jnp.zeros((*c.shape[:-1], capacity), jnp.float32)
-    out_cols = jnp.zeros((*c.shape[:-1], capacity), jnp.int32)
-    out_vals = _scatter_add_lastaxis(out_vals, seg_clip, jnp.where(valid, v, 0.0))
-    out_cols = _scatter_set_lastaxis(out_cols, seg_clip, c, valid)
-    return out_cols, out_vals, max_distinct
-
-
-def _scatter_add_lastaxis(out, idx, vals):
-    """Batched scatter-add along the last axis (flatten batch dims)."""
-    shape = out.shape
-    r = shape[-1]
-    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
-    flat_out = out.reshape(b, r)
-    flat_idx = idx.reshape(b, -1)
-    flat_vals = vals.reshape(b, -1)
-    rows = jnp.broadcast_to(
-        jnp.arange(b, dtype=jnp.int32)[:, None], flat_idx.shape
-    ).reshape(-1)
-    flat = rows * r + flat_idx.reshape(-1)
-    res = flat_out.reshape(-1).at[flat].add(flat_vals.reshape(-1))
-    return res.reshape(shape)
-
-
-def _scatter_set_lastaxis(out, idx, vals, valid):
-    shape = out.shape
-    r = shape[-1]
-    b = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
-    flat_idx = idx.reshape(b, -1)
-    flat_vals = vals.reshape(b, -1)
-    rows = jnp.broadcast_to(
-        jnp.arange(b, dtype=jnp.int32)[:, None], flat_idx.shape
-    ).reshape(-1)
-    flat = jnp.where(
-        valid.reshape(-1), rows * r + flat_idx.reshape(-1), b * r
-    )  # invalid → dropped (index OOB with drop mode)
-    res = (
-        out.reshape(-1)
-        .at[flat]
-        .set(flat_vals.reshape(-1), mode="drop")
+    # Segmented prefix sum (resets at each segment boundary): segment j's
+    # total sits at its last element. Unlike global-prefix-sum differences,
+    # each segment accumulates independently — no f32 cancellation against
+    # unrelated earlier segments (signed loads make that loss real).
+    # Hand-rolled Hillis–Steele (power-of-2 shifted adds) rather than
+    # jax.lax.associative_scan: an associative_scan whose operand chain
+    # contains a lax.sort hangs XLA:TPU compilation indefinitely (observed on
+    # v5e, 2026-08); the shift/where form compiles in seconds and runs at
+    # bandwidth.
+    segsum, flag = v, is_new
+    d = 1
+    while d < w:
+        s_sh = jnp.pad(segsum, ((0, 0), (d, 0)))[:, :w]
+        f_sh = jnp.pad(flag, ((0, 0), (d, 0)), constant_values=True)[:, :w]
+        segsum = jnp.where(flag, segsum, segsum + s_sh)
+        flag = flag | f_sh
+        d *= 2
+    # Compact segment totals into the first `capacity` slots: every segment's
+    # LAST element carries (col, total); a stable sort on the is-last flag
+    # moves those elements to the row front in segment order.
+    is_last = jnp.concatenate(
+        [is_new[:, 1:], jnp.ones((b, 1), dtype=bool)], axis=-1
     )
-    return res.reshape(shape)
+    nseg = jnp.sum(is_new, axis=-1, dtype=jnp.int32)[:, None]  # (b, 1)
+    ssbits = jax.lax.bitcast_convert_type(segsum, jnp.int32)
+    # Barrier again: lax.sort with a large fused producer graph (the
+    # segmented scan) hangs XLA:TPU compilation, same pathology as above.
+    sort_ops = jax.lax.optimization_barrier(
+        ((~is_last).astype(jnp.int32), c, ssbits)
+    )
+    _, oc, ovbits = jax.lax.sort(
+        sort_ops, dimension=-1, num_keys=1, is_stable=True
+    )
+    oc = oc[:, :capacity]
+    ov = jax.lax.bitcast_convert_type(ovbits[:, :capacity], jnp.float32)
+    slot = jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    ok = (slot < nseg) & (oc != _DEAD_COL)
+    out_cols = jnp.where(ok, oc, 0)
+    out_vals = jnp.where(ok, ov, 0.0)
+    return (
+        out_cols.reshape(*batch_shape, capacity),
+        out_vals.reshape(*batch_shape, capacity),
+        max_distinct,
+    )
 
 
 @jax.jit
 def max_row_distinct(log: WalkLog) -> jnp.ndarray:
     """Device scalar: max count of distinct *live* visited nodes over all
     (step, start) rows — the minimal lossless ELL row capacity."""
-    c = jnp.where(log.loads == 0.0, _DEAD_COL, log.curs)
-    c = jnp.sort(c, axis=-1)
+    w = log.curs.shape[-1]
+    c = jnp.where(log.loads == 0.0, _DEAD_COL, log.curs).reshape(-1, w)
+    # Barrier + 2D: same lax.sort fast-path reasoning as _consolidate_rows.
+    c = jax.lax.optimization_barrier(c)
+    c = jax.lax.sort(c, dimension=-1)
     is_new = jnp.concatenate(
-        [jnp.ones((*c.shape[:-1], 1), dtype=bool), c[..., 1:] != c[..., :-1]],
+        [jnp.ones((c.shape[0], 1), dtype=bool), c[:, 1:] != c[:, :-1]],
         axis=-1,
     )
     return jnp.max(jnp.sum(is_new & (c != _DEAD_COL), axis=-1))
@@ -239,27 +259,48 @@ def consolidate(
 def ell_phi_matvec(
     mats: EllStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """``Φ @ v`` from ELL step matrices. v: (Nt,) or (Nt, B)."""
+    """``Φ @ v`` from ELL step matrices. v: (Nt,) or (Nt, B).
+
+    The batched case scans over steps so the gather transient is (N, R, B),
+    never (L, N, R, B) — at the flagship N=1e6, R=56, B=8 the latter is a
+    20 GB allocation (OOM on a 16 GB chip), the former 1.8 GB.
+    """
     f = jnp.asarray(modulator, jnp.float32)
-    gathered = v[mats.cols]  # (L, N, R[, B])
     if v.ndim == 1:
+        gathered = v[mats.cols]  # (L, N, R)
         return jnp.einsum("l,lnr,lnr->n", f, mats.vals, gathered)
-    return jnp.einsum("l,lnr,lnrb->nb", f, mats.vals, gathered)
+
+    def body(acc, args):
+        cols_l, vals_l, f_l = args
+        g = v[cols_l]  # (N, R, B)
+        return acc + f_l * jnp.einsum("nr,nrb->nb", vals_l, g), None
+
+    acc0 = jnp.zeros((mats.num_nodes, v.shape[1]), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (mats.cols, mats.vals, f))
+    return acc
 
 
 def ell_phi_rmatvec(
     mats: EllStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """``Φᵀ @ v``. v: (N,) or (N, B)."""
+    """``Φᵀ @ v``. v: (N,) or (N, B). Batched case scans over steps (see
+    ell_phi_matvec memory note)."""
     f = jnp.asarray(modulator, jnp.float32)
-    weights = mats.vals * f[:, None, None]  # (L, N, R)
     nt = mats.num_target_nodes
     if v.ndim == 1:
+        weights = mats.vals * f[:, None, None]  # (L, N, R)
         vals = (weights * v[None, :, None]).reshape(-1)
         return jnp.zeros((nt,), jnp.float32).at[mats.cols.reshape(-1)].add(vals)
     b = v.shape[1]
-    vals = (weights[..., None] * v[None, :, None, :]).reshape(-1, b)
-    return jnp.zeros((nt, b), jnp.float32).at[mats.cols.reshape(-1)].add(vals)
+
+    def body(acc, args):
+        cols_l, vals_l, f_l = args
+        contrib = (f_l * vals_l)[..., None] * v[:, None, :]  # (N, R, B)
+        return acc.at[cols_l.reshape(-1)].add(contrib.reshape(-1, b)), None
+
+    acc0 = jnp.zeros((nt, b), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (mats.cols, mats.vals, f))
+    return acc
 
 
 def ell_phi_rows(
@@ -374,7 +415,201 @@ class LogFeatures:
         return log_phi_rows(self.log, f, idx, self.num_target_nodes)
 
 
-Features = Any  # DenseFeatures | EllFeatures | LogFeatures (duck-typed protocol)
+# ---------------------------------------------------------------------------
+# Stencil step matrices: the gather-free layout for structured graphs.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StencilStepMatrices:
+    """Step matrices as diagonal stencils: ``M_l[i, i + offsets[s]] =
+    vals[l, s, i]``.
+
+    On the synthetic graphs of every large-N reference protocol (ring, grid,
+    torus, staircase — experiments/sparse/scalable_bo/run_bo.py:29-50 and
+    scaling_exp/run_scaling_experiment.py:154-198) the walk estimator's
+    column indices satisfy ``col - row ∈`` a tiny global vocabulary (≤ ~61
+    offsets at L=5 on a 4-neighbor grid), because l-hop neighborhoods are
+    translates of one stencil. Storing values per (step, offset, node) turns
+    every matvec into shifted elementwise multiply-adds:
+
+        (M_l v)[i]  = Σ_s vals[l, s, i] · v[i + off_s]   →  Σ_s w_s ⊙ roll(v, -off_s)
+        (M_lᵀ v)[j] = Σ_s roll(w_s ⊙ v, +off_s)[j]
+
+    — pure HBM bandwidth, ZERO gathers/scatters. Measured on v5e at N=1e6,
+    wpn=1000, L=5: the ELL gather matvec runs ~2.1 s and the batched scatter
+    rmatvec ~24 s; the stencil form runs both in milliseconds. This is the
+    layout the million-node CG path rides.
+
+    ``offsets`` is a static numpy int array (sorted); wraparound entries of
+    periodic graphs appear as their raw differences (e.g. N-1), and jnp.roll
+    semantics make them exact: any (i, s) whose true column ≠ (i+off) mod N
+    simply has vals = 0.
+    """
+
+    vals: jnp.ndarray  # f32[L, S, N]
+    offsets: np.ndarray = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.vals.shape[0]
+
+    @property
+    def num_offsets(self) -> int:
+        return self.vals.shape[1]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.vals.shape[2]
+
+
+def offset_vocabulary(
+    mats: EllStepMatrices, max_offsets: int = 256, chunk_rows: int = 1 << 16
+) -> Optional[np.ndarray]:
+    """The sorted set of live ``col - row`` differences, or None if it
+    exceeds ``max_offsets`` (unstructured graph → keep ELL)."""
+    l, n, r = mats.cols.shape
+    row_ix = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    vocab = np.zeros((0,), np.int64)
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        diffs = mats.cols[:, lo:hi, :] - row_ix[:, lo:hi, :]
+        live = mats.vals[:, lo:hi, :] != 0.0
+        # one sorted-unique per chunk; sentinel pushes dead slots to the end
+        d = jnp.where(live, diffs, jnp.int32(2**31 - 1)).reshape(-1)
+        d = jnp.sort(d)
+        is_new = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
+        count = int(jnp.sum(is_new & (d != 2**31 - 1)))
+        if count > max_offsets:
+            return None
+        uniq = np.unique(np.asarray(d[np.asarray(jnp.nonzero(is_new, size=count + 1)[0])]))
+        vocab = np.unique(np.concatenate([vocab, uniq[uniq != 2**31 - 1]]))
+        if vocab.size > max_offsets:
+            return None
+    return vocab.astype(np.int32)
+
+
+def ell_to_stencil(
+    mats: EllStepMatrices,
+    max_offsets: int = 256,
+    chunk_rows: int = 1 << 16,
+) -> Optional[StencilStepMatrices]:
+    """Convert ELL step matrices to stencil form, or None if the offset
+    vocabulary is too large. One-time scatter cost; cache the result."""
+    if mats.num_target_nodes != mats.num_nodes:
+        return None
+    offsets = offset_vocabulary(mats, max_offsets, chunk_rows)
+    if offsets is None:
+        return None
+    l, n, r = mats.cols.shape
+    s = offsets.shape[0]
+    off_dev = jnp.asarray(offsets)
+    out = jnp.zeros((l, s, n), jnp.float32)
+    row_ix = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    step_ix = jnp.arange(l, dtype=jnp.int32)[:, None, None]
+    for lo in range(0, n, chunk_rows):
+        hi = min(lo + chunk_rows, n)
+        cols_c = mats.cols[:, lo:hi, :]
+        vals_c = mats.vals[:, lo:hi, :]
+        rows_c = jnp.broadcast_to(row_ix[:, lo:hi, :], cols_c.shape)
+        diffs = cols_c - rows_c
+        slot = jnp.searchsorted(off_dev, diffs).astype(jnp.int32)
+        slot = jnp.minimum(slot, s - 1)
+        live = vals_c != 0.0
+        flat = (
+            jnp.broadcast_to(step_ix, cols_c.shape) * (s * n)
+            + slot * n
+            + rows_c
+        )
+        flat = jnp.where(live, flat, l * s * n)  # dead → dropped
+        out = (
+            out.reshape(-1)
+            .at[flat.reshape(-1)]
+            .add(vals_c.reshape(-1), mode="drop")
+            .reshape(l, s, n)
+        )
+    return StencilStepMatrices(vals=out, offsets=offsets)
+
+
+def stencil_phi_matvec(
+    mats: StencilStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``Φ @ v``: Σ_s w_s ⊙ roll(v, -off_s). v: (N,) or (N, B)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    w = jnp.einsum("l,lsn->sn", f, mats.vals)  # (S, N)
+    out = jnp.zeros_like(v, dtype=jnp.float32)
+    for si, off in enumerate(mats.offsets.tolist()):
+        shifted = jnp.roll(v, -off, axis=0)
+        ws = w[si] if v.ndim == 1 else w[si][:, None]
+        out = out + ws * shifted
+    return out
+
+
+def stencil_phi_rmatvec(
+    mats: StencilStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``Φᵀ @ v``: Σ_s roll(w_s ⊙ v, +off_s). v: (N,) or (N, B)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    w = jnp.einsum("l,lsn->sn", f, mats.vals)
+    out = jnp.zeros_like(v, dtype=jnp.float32)
+    for si, off in enumerate(mats.offsets.tolist()):
+        ws = w[si] if v.ndim == 1 else w[si][:, None]
+        out = out + jnp.roll(ws * v, off, axis=0)
+    return out
+
+
+def stencil_phi_rows(
+    mats: StencilStepMatrices, modulator: jnp.ndarray, rows: jnp.ndarray
+) -> jnp.ndarray:
+    """Dense ``Φ[rows, :]`` (R, N) — small scatter (R·S entries)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    w = jnp.einsum("l,lsn->sn", f, mats.vals)  # (S, N)
+    n = mats.num_nodes
+    r = rows.shape[0]
+    rows = jnp.asarray(rows, jnp.int32)
+    wr = w[:, rows]  # (S, R)
+    cols = rows[None, :] + jnp.asarray(mats.offsets)[:, None]  # (S, R)
+    row_ix = jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None, :], cols.shape)
+    ok = (cols >= 0) & (cols < n)
+    flat = jnp.where(ok, row_ix * n + cols, r * n)
+    out = jnp.zeros((r * n,), jnp.float32).at[flat.reshape(-1)].add(
+        jnp.where(ok, wr, 0.0).reshape(-1), mode="drop"
+    )
+    return out.reshape(r, n)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StencilFeatures:
+    """Φ over stencil step matrices — the structured-graph large-N fast path
+    (same duck-typed protocol as DenseFeatures / EllFeatures / LogFeatures)."""
+
+    mats: StencilStepMatrices
+
+    @property
+    def num_nodes(self) -> int:
+        return self.mats.num_nodes
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.mats.num_nodes
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.mats.max_walk_length
+
+    def matvec(self, f, v):
+        return stencil_phi_matvec(self.mats, f, v)
+
+    def rmatvec(self, f, v):
+        return stencil_phi_rmatvec(self.mats, f, v)
+
+    def rows(self, f, idx):
+        return stencil_phi_rows(self.mats, f, idx)
+
+
+Features = Any  # DenseFeatures | EllFeatures | LogFeatures | StencilFeatures
 
 
 def ell_to_dense(mats: EllStepMatrices) -> jnp.ndarray:

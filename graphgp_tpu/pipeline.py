@@ -72,41 +72,53 @@ def _probe_max_distinct(graph, key, cfg: WalkConfig, block_size: int):
     return max_row_distinct(log)
 
 
-@partial(jax.jit, static_argnames=("cfg", "capacity", "block_size", "num_blocks"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "capacity", "block_size"),
+    donate_argnums=(0, 1),
+)
+def _consolidate_one_block(
+    cols_acc, vals_acc, graph, key, bix, cfg: WalkConfig, capacity: int,
+    block_size: int,
+):
+    """Walk one start-node block, consolidate it, land it in the accumulator.
+
+    The accumulators are donated, so XLA updates them in place — exactly one
+    (L, N, R) cols/vals pair is ever resident. ``bix`` is a traced scalar:
+    one compile serves every block.
+    """
+    inv_w = jnp.float32(1.0 / cfg.walks_per_node)
+    log = sample_walk_log(
+        graph, key, cfg, node_offset=bix * block_size,
+        num_start_nodes=block_size,
+    )
+    cols, vals, maxd = _consolidate_rows(log.curs, log.loads * inv_w, capacity)
+    start = bix * block_size
+    cols_acc = jax.lax.dynamic_update_slice(cols_acc, cols, (0, start, 0))
+    vals_acc = jax.lax.dynamic_update_slice(vals_acc, vals, (0, start, 0))
+    return cols_acc, vals_acc, maxd
+
+
 def _blocked_consolidate(
     graph, key, cfg: WalkConfig, capacity: int, block_size: int, num_blocks: int
 ):
-    inv_w = jnp.float32(1.0 / cfg.walks_per_node)
+    # A Python loop of short per-block XLA programs, NOT one giant lax.scan:
+    # a single program spanning all blocks takes minutes to compile at
+    # num_blocks ≈ 150 and its multi-minute device time trips the TPU worker
+    # watchdog (observed as "TPU worker crashed" at N ≥ 3e5 on v5e). The
+    # per-block maxd scalars stay on device until the final stack, so the
+    # loop runs fully async.
     l = cfg.max_walk_length
     n_pad = num_blocks * block_size
-    # The output ELL rides the scan carry and each block lands via
-    # dynamic_update_slice — XLA aliases the carry buffer inside the while
-    # loop, so exactly ONE (L, N, R) cols/vals pair is ever resident (a
-    # stacked scan output would cost 2× during the final transpose).
-    cols0 = jnp.zeros((l, n_pad, capacity), jnp.int32)
-    vals0 = jnp.zeros((l, n_pad, capacity), jnp.float32)
-
-    def body(carry, bix):
-        cols_acc, vals_acc, maxd_acc = carry
-        log = sample_walk_log(
-            graph,
-            key,
-            cfg,
-            node_offset=bix * block_size,
-            num_start_nodes=block_size,
+    cols = jnp.zeros((l, n_pad, capacity), jnp.int32)
+    vals = jnp.zeros((l, n_pad, capacity), jnp.float32)
+    maxds = []
+    for bix in range(num_blocks):
+        cols, vals, maxd = _consolidate_one_block(
+            cols, vals, graph, key, jnp.int32(bix), cfg, capacity, block_size
         )
-        cols, vals, maxd = _consolidate_rows(log.curs, log.loads * inv_w, capacity)
-        start = bix * block_size
-        cols_acc = jax.lax.dynamic_update_slice(cols_acc, cols, (0, start, 0))
-        vals_acc = jax.lax.dynamic_update_slice(vals_acc, vals, (0, start, 0))
-        return (cols_acc, vals_acc, jnp.maximum(maxd_acc, maxd)), None
-
-    (cols, vals, maxd), _ = jax.lax.scan(
-        body,
-        (cols0, vals0, jnp.int32(0)),
-        jnp.arange(num_blocks, dtype=jnp.int32),
-    )
-    return cols, vals, maxd
+        maxds.append(maxd)
+    return cols, vals, jnp.max(jnp.stack(maxds))
 
 
 def blocked_ell_features(

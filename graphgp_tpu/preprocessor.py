@@ -70,7 +70,8 @@ def preprocess_graph(
     cache_dir: Optional[str] = None,
     mesh=None,
     log_budget_bytes: Optional[int] = None,
-) -> EllFeatures:
+    layout: str = "ell",
+):
     """Adjacency → normalized Laplacian → sharded/unsharded walks →
     consolidated ELL step matrices, cached on disk.
 
@@ -82,6 +83,11 @@ def preprocess_graph(
     used instead — the full log is never materialized, enabling the
     reference's million-node regime (run_bo.py:29-50) on one chip. Blocking
     never changes results (counter-based RNG keys on global node ids).
+
+    ``layout="auto"`` additionally tries to convert the ELL matrices to the
+    gather-free stencil form (structured graphs: ring/grid/torus — see
+    features.StencilStepMatrices); large-N CG is ~1000× faster there on TPU.
+    ``layout="ell"`` (default) always returns EllFeatures.
     """
     from .pipeline import DEFAULT_LOG_BUDGET_BYTES, blocked_ell_features
 
@@ -112,4 +118,12 @@ def preprocess_graph(
 
     if cache_dir is not None:
         save_step_matrices(path, mats)
+    if layout == "auto":
+        from .features import StencilFeatures, ell_to_stencil
+
+        stencil = ell_to_stencil(mats)
+        if stencil is not None:
+            return StencilFeatures(stencil)
+    elif layout != "ell":
+        raise ValueError(f"unknown layout {layout!r}")
     return EllFeatures(mats)
