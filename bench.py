@@ -5,10 +5,17 @@ on-device ELL consolidation) at the reference's flagship BO operating point
 (grid graph, walks_per_node=1000, p_halt=0.1, max_walk_length=5; reference
 experiments/sparse/scalable_bo/run_bo.py:29-50), via the blocked pipeline.
 
-Extra metrics (carried in the same JSON line under "extra_metrics"):
+Extra metrics:
   * walk throughput at N=2^20, wpn=100, L=3 (reference scaling RW protocol,
     run_scaling_experiment.py:329-379) — round-1 metric, kept comparable.
-  * CG iterations/s on the N=1e6 Gram solve (n_train = N/2, batch 8 RHS).
+  * CG iterations/s on the N=1e6 Gram solve (n_train = N/2, batch 8 RHS),
+    run on the stencil layout (the bench graph is a grid, so the gather-free
+    stencil form always applies; see features.StencilStepMatrices) — the
+    layout the production million-node CG path rides.
+
+Output protocol: every metric is printed as its own JSON line THE MOMENT it
+is measured, so a crash in a later phase cannot lose earlier results; the
+final line is the combined headline record (headline + extra_metrics).
 
 vs_baseline provenance (all measured on this container, 2 CPU cores):
   * kernel build: reference SparseRandomWalk fork-pool (2 procs) at n=4096,
@@ -27,6 +34,14 @@ import numpy as np
 REF_KERNEL_BUILD_S = 7_663.0
 REF_WALKS_PER_S = 82_810.0
 REF_CG_ITERS_PER_S = 17.08
+
+
+def emit(metric, value, unit, vs_baseline, **extra):
+    rec = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+    return rec
 
 
 def ring_csr(n: int):
@@ -109,17 +124,34 @@ def bench_walk_throughput():
 
 
 def bench_cg(feats):
-    """CG iterations/s on the 1e6-node Gram solve (fixed 20 iterations)."""
+    """CG iterations/s on the 1e6-node Gram solve (fixed 20 iterations).
+
+    Runs on the stencil layout: the bench graph is a 1000×1000 grid, so the
+    offset-vocabulary conversion always succeeds, and every CG matvec is
+    rolls + elementwise FMAs — no gathers/scatters, no watchdog exposure
+    (the ELL layout's batched scatter rmatvec at this shape runs ~24 s/op,
+    which stacked 20× inside one while_loop dispatch kills the TPU worker).
+    """
     import jax
     import jax.numpy as jnp
 
+    from graphgp_tpu.features import StencilFeatures, ell_to_stencil
     from graphgp_tpu.gp import params as P
     from graphgp_tpu.gp.iterative import make_ktt_matvec
     from graphgp_tpu.linalg import batched_cg
 
-    n = feats.num_nodes
+    t0 = time.time()
+    stencil = ell_to_stencil(feats.mats)
+    assert stencil is not None, "grid graph must be stencil-convertible"
+    sfeats = StencilFeatures(stencil)
+    float(jnp.sum(stencil.vals))
+    convert_s = time.time() - t0
+    emit("ell_to_stencil_convert_n1M_L5", round(convert_s, 2), "s", None,
+         num_offsets=int(stencil.num_offsets))
+
+    n = sfeats.num_nodes
     train_idx = jnp.arange(0, n, 2, dtype=jnp.int32)
-    params = P.init_params("diffusion", feats.max_walk_length,
+    params = P.init_params("diffusion", sfeats.max_walk_length,
                            jax.random.PRNGKey(0), noise=0.1)
     b = jax.random.normal(jax.random.PRNGKey(1), (train_idx.shape[0], 8))
     matvec = make_ktt_matvec("diffusion")
@@ -127,7 +159,7 @@ def bench_cg(feats):
 
     def run():
         res = batched_cg(
-            matvec, (params, feats, train_idx), b, tol=0.0, max_iters=iters
+            matvec, (params, sfeats, train_idx), b, tol=0.0, max_iters=iters
         )
         float(jnp.sum(res.x))
 
@@ -138,33 +170,27 @@ def bench_cg(feats):
 
 def main():
     build_s, feats = bench_kernel_build()
-    walks_per_s = bench_walk_throughput()
-    cg_iters_per_s = bench_cg(feats)
-
-    print(
-        json.dumps(
-            {
-                "metric": "grf_kernel_build_n1M_wpn1000_L5",
-                "value": round(build_s, 2),
-                "unit": "s",
-                "vs_baseline": round(REF_KERNEL_BUILD_S / build_s, 2),
-                "extra_metrics": [
-                    {
-                        "metric": "grf_walk_throughput_n1M_wpn100_L3",
-                        "value": round(walks_per_s, 1),
-                        "unit": "walks/s/chip",
-                        "vs_baseline": round(walks_per_s / REF_WALKS_PER_S, 2),
-                    },
-                    {
-                        "metric": "cg_iters_per_s_n1M_ntrain500k_b8",
-                        "value": round(cg_iters_per_s, 2),
-                        "unit": "iters/s",
-                        "vs_baseline": round(cg_iters_per_s / REF_CG_ITERS_PER_S, 2),
-                    },
-                ],
-            }
-        )
+    headline = emit(
+        "grf_kernel_build_n1M_wpn1000_L5", round(build_s, 2), "s",
+        round(REF_KERNEL_BUILD_S / build_s, 2),
     )
+
+    walks_per_s = bench_walk_throughput()
+    m_walk = emit(
+        "grf_walk_throughput_n1M_wpn100_L3", round(walks_per_s, 1),
+        "walks/s/chip", round(walks_per_s / REF_WALKS_PER_S, 2),
+    )
+
+    cg_iters_per_s = bench_cg(feats)
+    m_cg = emit(
+        "cg_iters_per_s_n1M_ntrain500k_b8", round(cg_iters_per_s, 2),
+        "iters/s", round(cg_iters_per_s / REF_CG_ITERS_PER_S, 2),
+    )
+
+    # Combined record last, so tail-line parsers see the full picture.
+    headline = dict(headline)
+    headline["extra_metrics"] = [m_walk, m_cg]
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

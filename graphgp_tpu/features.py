@@ -156,6 +156,10 @@ def _consolidate_rows(
     """
     batch_shape = cols.shape[:-1]
     w = cols.shape[-1]
+    # A row of W walks can hold at most W distinct columns: clamp the working
+    # capacity and zero-pad the outputs back to the requested width (callers
+    # may pass lane-aligned capacities larger than W on tiny graphs).
+    req_capacity, capacity = capacity, min(capacity, w)
     b = int(np.prod(batch_shape)) if batch_shape else 1
     c = jnp.where(vals == 0.0, _DEAD_COL, cols).reshape(b, w)
     vbits = jax.lax.bitcast_convert_type(
@@ -209,9 +213,13 @@ def _consolidate_rows(
     ok = (slot < nseg) & (oc != _DEAD_COL)
     out_cols = jnp.where(ok, oc, 0)
     out_vals = jnp.where(ok, ov, 0.0)
+    if req_capacity > capacity:
+        pad = ((0, 0), (0, req_capacity - capacity))
+        out_cols = jnp.pad(out_cols, pad)
+        out_vals = jnp.pad(out_vals, pad)
     return (
-        out_cols.reshape(*batch_shape, capacity),
-        out_vals.reshape(*batch_shape, capacity),
+        out_cols.reshape(*batch_shape, req_capacity),
+        out_vals.reshape(*batch_shape, req_capacity),
         max_distinct,
     )
 

@@ -91,13 +91,19 @@ def preprocess_graph(
     """
     from .pipeline import DEFAULT_LOG_BUDGET_BYTES, blocked_ell_features
 
+    if layout not in ("ell", "auto"):
+        # Validate before any (potentially hours-long) walk work.
+        raise ValueError(f"unknown layout {layout!r}; expected 'ell' or 'auto'")
+
     budget = (
         log_budget_bytes if log_budget_bytes is not None else DEFAULT_LOG_BUDGET_BYTES
     )
     if cache_dir is not None:
         path = os.path.join(cache_dir, f"step_matrices_{_cache_key(adjacency, cfg, seed)}.npz")
         if os.path.exists(path):
-            return EllFeatures(load_step_matrices(path))
+            # Cache hit goes through the SAME layout conversion as a cold
+            # run, so the returned feature type never depends on cache state.
+            return _apply_layout(load_step_matrices(path), layout)
 
     graph = pack_laplacian(adjacency)
     key = jax.random.PRNGKey(seed)
@@ -118,12 +124,16 @@ def preprocess_graph(
 
     if cache_dir is not None:
         save_step_matrices(path, mats)
+    return _apply_layout(mats, layout)
+
+
+def _apply_layout(mats: EllStepMatrices, layout: str):
+    """ELL step matrices → requested feature layout. ``auto`` upgrades to the
+    gather-free stencil form when the graph's offset vocabulary is small."""
     if layout == "auto":
         from .features import StencilFeatures, ell_to_stencil
 
         stencil = ell_to_stencil(mats)
         if stencil is not None:
             return StencilFeatures(stencil)
-    elif layout != "ell":
-        raise ValueError(f"unknown layout {layout!r}")
     return EllFeatures(mats)

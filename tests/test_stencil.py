@@ -101,3 +101,47 @@ def test_preprocessor_auto_layout(tmp_path):
     np.testing.assert_allclose(
         np.asarray(feats.matvec(f, v)), np.asarray(ell.matvec(f, v)), atol=1e-5
     )
+
+
+def test_preprocessor_auto_layout_survives_cache_hit(tmp_path):
+    """The returned feature type must not depend on cache state: a warm
+    (cache-hit) auto run must return the same StencilFeatures as the cold
+    run, with identical values."""
+    from graphgp_tpu.preprocessor import preprocess_graph
+
+    cfg = WalkConfig(walks_per_node=16, p_halt=0.15, max_walk_length=3)
+    adj = ring_adj(48)
+    cold = preprocess_graph(
+        adj, cfg, seed=7, layout="auto", cache_dir=str(tmp_path)
+    )
+    warm = preprocess_graph(
+        adj, cfg, seed=7, layout="auto", cache_dir=str(tmp_path)
+    )
+    assert isinstance(cold, StencilFeatures)
+    assert isinstance(warm, StencilFeatures)
+    np.testing.assert_allclose(
+        np.asarray(cold.mats.vals), np.asarray(warm.mats.vals), atol=1e-7
+    )
+
+
+def test_preprocessor_rejects_bad_layout_before_work():
+    from graphgp_tpu.preprocessor import preprocess_graph
+
+    cfg = WalkConfig(walks_per_node=16, p_halt=0.15, max_walk_length=3)
+    with pytest.raises(ValueError, match="layout"):
+        preprocess_graph(ring_adj(16), cfg, layout="stencil")
+
+
+def test_consolidate_capacity_exceeding_walks(toy_cycle_adj):
+    """capacity > walks_per_node must zero-pad, not raise (user-supplied
+    lane-aligned capacities can exceed W on tiny graphs)."""
+    cfg = WalkConfig(walks_per_node=4, p_halt=0.2, max_walk_length=3)
+    graph = pack_laplacian(toy_cycle_adj)
+    log = sample_walk_log(graph, jax.random.PRNGKey(0), cfg)
+    small = consolidate(log, 4, walks_per_node=cfg.walks_per_node)
+    wide = consolidate(log, 16, walks_per_node=cfg.walks_per_node)
+    assert wide.row_capacity == 16
+    np.testing.assert_allclose(
+        np.asarray(wide.vals[..., :4]), np.asarray(small.vals), atol=1e-7
+    )
+    assert float(jnp.sum(jnp.abs(wide.vals[..., 4:]))) == 0.0
