@@ -137,7 +137,7 @@ def bench_cg(feats):
 
     from graphgp_tpu.features import StencilFeatures, ell_to_stencil
     from graphgp_tpu.gp import params as P
-    from graphgp_tpu.gp.iterative import make_ktt_matvec
+    from graphgp_tpu.gp.iterative import make_ktt_matvec_bm
     from graphgp_tpu.linalg import batched_cg
 
     t0 = time.time()
@@ -153,13 +153,15 @@ def bench_cg(feats):
     train_idx = jnp.arange(0, n, 2, dtype=jnp.int32)
     params = P.init_params("diffusion", sfeats.max_walk_length,
                            jax.random.PRNGKey(0), noise=0.1)
-    b = jax.random.normal(jax.random.PRNGKey(1), (train_idx.shape[0], 8))
-    matvec = make_ktt_matvec("diffusion")
+    # batch-major (B, n_train): the long axis rides the 128 lanes
+    b = jax.random.normal(jax.random.PRNGKey(1), (8, train_idx.shape[0]))
+    matvec = make_ktt_matvec_bm("diffusion")
     iters = 20
 
     def run():
         res = batched_cg(
-            matvec, (params, sfeats, train_idx), b, tol=0.0, max_iters=iters
+            matvec, (params, sfeats, train_idx), b, tol=0.0, max_iters=iters,
+            batch_axis=0,
         )
         float(jnp.sum(res.x))
 

@@ -152,12 +152,29 @@ class GreedySearch(_TraversalBase):
         self.frontier -= self.visited
 
 
+def _next_capacity(size: int, minimum: int = 64) -> int:
+    """Power-of-two observation capacity ≥ size (few distinct jit shapes)."""
+    cap = minimum
+    while cap < size:
+        cap *= 2
+    return cap
+
+
 class GRFThompson(Algorithm):
     """GRF-GP Thompson sampling via pathwise conditioning on TPU.
 
     Reference SparseGRF (bo_utils.py:213-291): retrain the GP every
     ``retrain_interval`` new observations (Adam × train_epochs), then draw one
     posterior sample over the *unvisited* nodes and pick the top-k.
+
+    Compile discipline: observations ride a fixed-capacity padded buffer
+    (mask-aware MLL/pathwise, see gp.iterative.make_ktt_matvec_bm_masked) and
+    Thompson samples are drawn at ALL nodes with visited ones excluded
+    host-side — so the training and prediction graphs compile ONCE per
+    capacity level instead of once per BO iteration. Pass
+    ``observation_capacity`` (e.g. initial_points + iterations×batch) for a
+    single compile across the whole run; otherwise capacity grows in
+    powers of two.
     """
 
     def __init__(
@@ -172,6 +189,7 @@ class GRFThompson(Algorithm):
         retrain_interval: int = 10,
         settings=None,
         jax_seed: int = 0,
+        observation_capacity: Optional[int] = None,
     ):
         super().__init__(n_nodes, rng)
         import jax
@@ -184,6 +202,7 @@ class GRFThompson(Algorithm):
         self.train_epochs = train_epochs
         self.retrain_interval = retrain_interval
         self.settings = settings or iterative.CGSettings()
+        self.observation_capacity = observation_capacity
         self.visited: set = set()
         self.cached_params = None
         self.last_training_size = 0
@@ -202,6 +221,19 @@ class GRFThompson(Algorithm):
             or (current_size - self.last_training_size) >= self.retrain_interval
         )
 
+    def _padded_observations(self, observed_idx, observed_y):
+        size = observed_idx.size
+        cap = self.observation_capacity
+        if cap is None or cap < size:
+            cap = _next_capacity(size)
+        pad_idx = np.zeros(cap, np.int32)
+        pad_idx[:size] = observed_idx
+        pad_y = np.zeros(cap, np.float32)
+        pad_y[:size] = observed_y
+        mask = np.zeros(cap, np.float32)
+        mask[:size] = 1.0
+        return pad_idx, pad_y, mask
+
     def select_next_points(self, observed_idx, observed_y, batch_size=1):
         import jax.numpy as jnp
 
@@ -209,8 +241,11 @@ class GRFThompson(Algorithm):
 
         observed_idx = np.asarray(observed_idx).astype(np.int32)
         observed_y = np.asarray(observed_y, dtype=np.float32)
-        train_idx = jnp.asarray(observed_idx)
-        y = jnp.asarray(observed_y)
+        pad_idx, pad_y, mask = self._padded_observations(observed_idx, observed_y)
+        train_idx = jnp.asarray(pad_idx)
+        y = jnp.asarray(pad_y)
+        mask_j = jnp.asarray(mask)
+        num_real = jnp.float32(observed_idx.size)
 
         if self._should_retrain(observed_idx.size):
             res = iterative.fit(
@@ -223,35 +258,41 @@ class GRFThompson(Algorithm):
                 learning_rate=self.learning_rate,
                 num_steps=self.train_epochs,
                 settings=self.settings,
+                mask=mask_j,
+                num_real=num_real,
             )
             self.cached_params = res.params
             self.last_training_size = observed_idx.size
 
-        # Exclude everything ever visited (tracked via update()) as well as
-        # the currently-observed set — the two can diverge when batch
-        # selection outpaces observation (reference restricts Thompson
+        # Thompson-sample at ALL nodes (static shape → one compile), then
+        # exclude everything ever visited (tracked via update()) as well as
+        # the currently-observed set host-side — the two can diverge when
+        # batch selection outpaces observation (reference restricts Thompson
         # sampling to unvisited nodes, graph_bo/utils/bo_utils.py:269-276).
-        exclude = np.union1d(
-            np.fromiter(self.visited, dtype=np.int32, count=len(self.visited)),
-            observed_idx,
-        ).astype(np.int32)
-        unvisited = np.setdiff1d(
-            np.arange(self.n_nodes, dtype=np.int32), exclude, assume_unique=False
-        )
         sample = iterative.pathwise_predict(
             self.features,
             self.cached_params,
             train_idx,
             y,
-            jnp.asarray(unvisited),
+            jnp.arange(self.n_nodes, dtype=jnp.int32),
             self._next_key(),
             kind=self.kind,
             num_samples=1,
             settings=self.settings,
+            mask=mask_j,
         )[0]
-        take = min(batch_size, unvisited.size)
-        top = np.asarray(jnp.argsort(-sample))[:take]
-        return unvisited[top].tolist()
+        scores = np.asarray(sample, dtype=np.float32).copy()
+        exclude = np.union1d(
+            np.fromiter(self.visited, dtype=np.int32, count=len(self.visited)),
+            observed_idx,
+        ).astype(np.int32)
+        scores[exclude] = -np.inf
+        n_avail = self.n_nodes - exclude.size
+        take = min(batch_size, max(n_avail, 0))
+        if take == 0:
+            return []
+        top = np.argpartition(-scores, take - 1)[:take]
+        return top[np.argsort(-scores[top])].tolist()
 
     def update(self, observed_idx, observed_y):
         self.visited.update(int(i) for i in observed_idx)

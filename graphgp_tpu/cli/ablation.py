@@ -39,6 +39,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .. import WalkConfig, diffusion_kernel, pack_laplacian
+    from ..kernels import features_for_adjacency
     from ..data.synthetic import _grid_adjacency
     from ..features import DenseFeatures
     from ..gp import exact
@@ -76,13 +77,13 @@ def main(argv=None):
                     max_walk_length=args.max_walk_length,
                     ablation=ablation,
                 )
-                graph = (
-                    pack_dense(adj) if ablation else pack_laplacian(adj)
+                # auto Pallas dispatch (kernels.features_for_adjacency);
+                # ablation=True walks the raw adjacency with ad-hoc loads
+                feats = features_for_adjacency(
+                    adj, jax.random.PRNGKey(42 + seed),
+                    walks_per_node=wpn, p_halt=args.p_halt,
+                    max_walk_length=args.max_walk_length, ablation=ablation,
                 )
-                mats = sample_dense_step_matrices(
-                    graph, jax.random.PRNGKey(42 + seed), cfg
-                )
-                feats = DenseFeatures(mats)
                 res = exact.fit(
                     feats, tr, y[tr], kind="free",
                     key=jax.random.PRNGKey(seed),

@@ -50,6 +50,9 @@ def make_algorithm(name, data, feats, args, rng):
             train_epochs=args.train_epochs,
             retrain_interval=args.gp_retrain_interval,
             settings=iterative.CGSettings(cg_tol=args.cg_tol, cg_max_iters=100),
+            # full-run capacity → the CG/MLL graphs compile exactly once
+            observation_capacity=args.initial_points
+            + args.iterations * args.batch_size,
         )
     raise ValueError(f"unknown algorithm {name!r}")
 
@@ -127,9 +130,12 @@ def main(argv=None):
                     p_halt=args.p_halt,
                     max_walk_length=args.max_walk_length,
                 )
+                # layout="auto": stencil on structured graphs (the 1e6-node
+                # grid protocol rides roll-based matvecs), column-sorted
+                # transpose on unstructured ones (no scatter rmatvec).
                 feats = preprocess_graph(
                     data["adjacency"], cfg, seed=args.seed,
-                    cache_dir=args.cache_dir,
+                    cache_dir=args.cache_dir, layout="auto",
                 )
         except Exception as e:  # noqa: BLE001 — sweep must survive any cell
             print(f"!! {graph_type}: data/preprocess failed: {e}")

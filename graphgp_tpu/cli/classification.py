@@ -78,6 +78,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian
+    from ..kernels import features_for_adjacency
     from ..features import DenseFeatures
     from ..gp import svgp
     from ..utils.io import print_summary, save_results
@@ -111,13 +112,13 @@ def main(argv=None):
         # inducing points = half the train indices (reference cell 7)
         inducing = tr[:: 2]
 
-        graph = pack_laplacian(adj)
-        cfg = WalkConfig(
+        # auto Pallas dispatch in the dense regime; blocked pipeline above
+        # the HBM guardrail (kernels.features_for_adjacency)
+        feats = features_for_adjacency(
+            adj, jax.random.PRNGKey(42 + seed),
             walks_per_node=args.walks_per_node, p_halt=args.p_halt,
             max_walk_length=args.max_walk_length,
         )
-        mats = sample_dense_step_matrices(graph, jax.random.PRNGKey(42 + seed), cfg)
-        feats = DenseFeatures(mats)
 
         res = svgp.fit(
             feats, inducing, tr, y[tr],

@@ -45,6 +45,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian
+    from ..kernels import features_for_adjacency
     from ..data import synthetic
     from ..features import DenseFeatures
     from ..gp import exact, hmc
@@ -61,12 +62,12 @@ def main(argv=None):
     te = jnp.asarray(np.sort(perm[n_tr:]), jnp.int32)
     y = jnp.asarray(data["y_observed"], jnp.float32)
 
-    graph = pack_laplacian(data["adjacency"])
-    cfg = WalkConfig(
+    # auto Pallas dispatch in the dense regime (kernels.features_for_adjacency)
+    feats = features_for_adjacency(
+        data["adjacency"], jax.random.PRNGKey(42),
         walks_per_node=args.walks_per_node, p_halt=args.p_halt,
         max_walk_length=args.max_walk_length,
     )
-    feats = DenseFeatures(sample_dense_step_matrices(graph, jax.random.PRNGKey(42), cfg))
 
     # ML-II point estimate as the chain init + comparison
     fit = exact.fit(feats, tr, y[tr], kind=args.kind, num_steps=200)

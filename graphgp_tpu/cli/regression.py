@@ -51,6 +51,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian
+    from ..kernels import features_for_adjacency
     from ..data import synthetic
     from ..features import DenseFeatures
     from ..gp import exact
@@ -92,9 +93,14 @@ def main(argv=None):
 
     pofm = DenseFeatures(pofm_features(adj, max_expansion=args.max_walk_length))
 
+    # Traffic protocol: observations live only at sensor nodes (the spliced
+    # degree-2 nodes); intersections/road nodes are latent (reference
+    # load_PEMS trains on 250 of 325 sensors). Synthetic grids observe all.
+    candidates = np.asarray(data.get("sensor_nodes", np.arange(n)), np.int64)
+
     for seed in range(args.seeds):
         rng = np.random.default_rng(seed)
-        perm = rng.permutation(n)
+        perm = candidates[rng.permutation(candidates.size)]
         tr = jnp.asarray(np.sort(perm[: args.num_train]), jnp.int32)
         te = jnp.asarray(np.sort(perm[args.num_train :]), jnp.int32)
 
@@ -155,16 +161,15 @@ def main(argv=None):
             print(f"seed={seed} gcn: rmse={g_rmse:.4f}")
 
         # --- GRF sweeps ---
-        graph = pack_laplacian(adj)
+        # features_for_adjacency: auto-dispatches to the fused Pallas walker
+        # on TPU in this dense regime, and guards large graphs by switching
+        # to the blocked pipeline (kernels.features_for_adjacency).
         for wpn in args.walks:
-            cfg = WalkConfig(
+            feats = features_for_adjacency(
+                adj, jax.random.PRNGKey(42 + seed),
                 walks_per_node=wpn, p_halt=args.p_halt,
                 max_walk_length=args.max_walk_length,
             )
-            mats = sample_dense_step_matrices(
-                graph, jax.random.PRNGKey(42 + seed), cfg
-            )
-            feats = DenseFeatures(mats)
             for kind in ("diffusion", "free"):
                 res = exact.fit(
                     feats, tr, y_all[tr], kind=kind,

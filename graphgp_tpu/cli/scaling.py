@@ -90,9 +90,12 @@ def run_gp_phase(sizes, cfg_args, records, exact_mode=False):
     )
     for n in sizes:
         data = generate_ring_data(n, seed=cfg_args.seed)
+        # iterative arm: layout="auto" → stencil on these ring graphs, so CG
+        # matvecs are rolls+FMAs; exact arm needs ELL mats to densify.
         feats = preprocess_graph(
             data["adjacency"], cfg, seed=cfg_args.seed,
             cache_dir=cfg_args.cache_dir,
+            layout="ell" if exact_mode else "auto",
         )
         if exact_mode:
             from ..features import ell_to_dense

@@ -138,6 +138,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian
+    from ..kernels import features_for_adjacency
     from ..features import DenseFeatures
     from ..gp import iterative
     from ..utils.io import print_summary, save_results
@@ -186,18 +187,17 @@ def main(argv=None):
     )
 
     settings = iterative.CGSettings(cg_tol=1e-2, cg_max_iters=100, num_probes=16)
-    graph = pack_laplacian(adj)
     records: List[Dict] = []
     for seed in range(args.seeds):
         for wpn in args.walks:
-            cfg = WalkConfig(
+            # auto Pallas dispatch in the dense regime; blocked pipeline
+            # above the HBM guardrail — the full ERA5 grid (~6.5k nodes) at
+            # wpn=8192 stays inside memory without layout flags
+            feats = features_for_adjacency(
+                adj, jax.random.PRNGKey(42 + seed),
                 walks_per_node=wpn, p_halt=args.p_halt,
                 max_walk_length=args.max_walk_length,
             )
-            mats = sample_dense_step_matrices(
-                graph, jax.random.PRNGKey(42 + seed), cfg
-            )
-            feats = DenseFeatures(mats)
             for kind in args.kinds:
                 res = iterative.fit(
                     feats, tr, y_all[tr], kind=kind,

@@ -327,6 +327,263 @@ def ell_phi_rows(
 
 
 # ---------------------------------------------------------------------------
+# Column-sorted (CSC-style) transpose: the fast Φᵀ path for UNSTRUCTURED
+# large-N graphs.
+#
+# TPU scatter-adds are the pathology of the ELL rmatvec (measured ~24 s per
+# batched Φᵀv at N=1e6, R=56 — features.EllStepMatrices docstrings): every
+# CG iteration of the social-graph BO protocol (reference
+# experiments/sparse/scalable_bo/run_bo.py, SNAP configs) would ride that.
+# The reference solves this with a CSC→CSR torch transpose
+# (utils_sparse/sparse_lo.py:16-25); the TPU equivalent here stores each
+# M_lᵀ as its entries sorted by target column, so Φᵀv becomes
+#     gather (z = val · v[row])  →  segmented prefix-sum  →  gather totals
+# — zero scatters in the hot path. A transposed ELL would not work for this:
+# social-graph hub columns collect entries from every start node within L
+# hops, so the per-column capacity (and the ELL padding) explodes; the
+# sorted flat layout is skew-proof.
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CscStepMatrices:
+    """Per-step transposed step matrices as column-sorted flat entries.
+
+    rows: int32[L, E] — source (start) node of each entry.
+    vals: float32[L, E] — M_l[row, col] (dead padding carries 0).
+    seg_start: bool[L, E] — entry opens a new column segment.
+    last_pos: int32[L, Nt] — flat index of column c's last entry (0 if none).
+    has_any: bool[L, Nt] — column c has at least one live entry.
+    """
+
+    rows: jnp.ndarray
+    vals: jnp.ndarray
+    seg_start: jnp.ndarray
+    last_pos: jnp.ndarray
+    has_any: jnp.ndarray
+
+    @property
+    def max_walk_length(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.last_pos.shape[1]
+
+
+def segmented_sum_scan(z: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive within-segment prefix sum along the last axis.
+
+    z: (..., E); seg_start: bool (E,) marking segment openers. Hillis–Steele
+    shifted adds with flag propagation (the same pattern as
+    _consolidate_rows' segmented scan): log2(E) bandwidth-bound passes, no
+    cross-segment accumulation — so no f32 cancellation against unrelated
+    segments, unlike a global-prefix-difference reduction.
+    """
+    e = z.shape[-1]
+    s = z
+    flag = seg_start
+    d = 1
+    while d < e:
+        pad = [(0, 0)] * (s.ndim - 1) + [(d, 0)]
+        s_sh = jnp.pad(s, pad)[..., :e]
+        f_sh = jnp.pad(flag, ((d, 0),), constant_values=True)[:e]
+        s = jnp.where(flag, s, s + s_sh)
+        flag = flag | f_sh
+        d *= 2
+    return s
+
+
+def transpose_ell(mats: EllStepMatrices) -> CscStepMatrices:
+    """One-time build of the column-sorted transpose (cache with the mats).
+
+    Per step: flatten (row, col, val) entries, push dead entries to the end
+    under a sentinel column, ONE 3-operand lax.sort keyed on column, then
+    mark segment boundaries and record each column's last-entry position
+    (a single build-time scatter-max; the hot path stays scatter-free).
+    """
+    l, n, r = mats.cols.shape
+    nt = mats.num_target_nodes
+    e = n * r
+    row_ix = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r)
+    ).reshape(-1)
+    rows_out, vals_out, starts_out, last_out, has_out = [], [], [], [], []
+    for li in range(l):
+        c = jnp.where(
+            mats.vals[li] == 0.0, _DEAD_COL, mats.cols[li]
+        ).reshape(-1)
+        vbits = jax.lax.bitcast_convert_type(
+            mats.vals[li].reshape(-1), jnp.int32
+        )
+        c, rr, vbits = jax.lax.optimization_barrier((c, row_ix, vbits))
+        c, rr, vv = jax.lax.sort((c, rr, vbits), dimension=0, num_keys=1)
+        v = jax.lax.bitcast_convert_type(vv, jnp.float32)
+        is_start = jnp.concatenate(
+            [jnp.ones((1,), bool), c[1:] != c[:-1]]
+        )
+        pos = jnp.arange(e, dtype=jnp.int32)
+        last = (
+            jnp.full((nt,), -1, jnp.int32).at[c].max(pos, mode="drop")
+        )
+        has_out.append(last >= 0)
+        last_out.append(jnp.maximum(last, 0))
+        rows_out.append(rr)
+        vals_out.append(v)
+        starts_out.append(is_start)
+    return CscStepMatrices(
+        rows=jnp.stack(rows_out),
+        vals=jnp.stack(vals_out),
+        seg_start=jnp.stack(starts_out),
+        last_pos=jnp.stack(last_out),
+        has_any=jnp.stack(has_out),
+    )
+
+
+def csc_phi_rmatvec(
+    csc: CscStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``Φᵀ @ v`` via the column-sorted transpose. v: (Nsrc,) → (Nt,)."""
+    f = jnp.asarray(modulator, jnp.float32)
+
+    def body(acc, args):
+        rows_l, vals_l, st_l, lp_l, ha_l, f_l = args
+        z = vals_l * v[rows_l]
+        s = segmented_sum_scan(z, st_l)
+        return acc + f_l * jnp.where(ha_l, s[lp_l], 0.0), None
+
+    acc0 = jnp.zeros((csc.num_target_nodes,), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body,
+        acc0,
+        (csc.rows, csc.vals, csc.seg_start, csc.last_pos, csc.has_any, f),
+    )
+    return acc
+
+
+def csc_phi_rmatvec_bm(
+    csc: CscStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``V @ Φ`` batch-major via the column-sorted transpose.
+    v: (B, Nsrc) → (B, Nt)."""
+    f = jnp.asarray(modulator, jnp.float32)
+
+    def body(acc, args):
+        rows_l, vals_l, st_l, lp_l, ha_l, f_l = args
+        z = vals_l[None, :] * v[:, rows_l]  # (B, E)
+        s = segmented_sum_scan(z, st_l)
+        return acc + f_l * jnp.where(ha_l[None, :], s[:, lp_l], 0.0), None
+
+    acc0 = jnp.zeros((v.shape[0], csc.num_target_nodes), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body,
+        acc0,
+        (csc.rows, csc.vals, csc.seg_start, csc.last_pos, csc.has_any, f),
+    )
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Batch-major (B, N) product variants.
+#
+# TPU arrays pad the minor dimension to the 128-lane vector width: a column-
+# major (N, B) batch with B=8 physically occupies (N, 128) tiles — 16× the
+# logical bytes — so every elementwise op, roll, and reduction in a CG loop
+# moves 16× the data (measured: the N=1e6 stencil CG ran 4.96 iters/s column-
+# major vs the HBM roofline's ~100+). Batch-major (B, N) puts the long node
+# axis on the lanes; these *_bm products are the layout the iterative GP
+# stack (gp/iterative.py) rides. Semantics: matvec_bm(f, V) = V @ Φᵀ for
+# V (B, Nt) → (B, N); rmatvec_bm(f, V) = V @ Φ for V (B, N) → (B, Nt).
+# ---------------------------------------------------------------------------
+
+
+def log_phi_matvec_bm(
+    log: WalkLog, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``V @ Φᵀ`` straight from the walk log. v: (B, Nt) → (B, N)."""
+    l, n, w = log.curs.shape
+    f = jnp.asarray(modulator, jnp.float32)
+    weights = (log.loads / w) * f[:, None, None]  # (L, N, W)
+    gathered = v[:, log.curs]  # (B, L, N, W)
+    return jnp.einsum("lnw,blnw->bn", weights, gathered)
+
+
+def log_phi_rmatvec_bm(
+    log: WalkLog, modulator: jnp.ndarray, v: jnp.ndarray, num_target_nodes: int
+) -> jnp.ndarray:
+    """``V @ Φ``: scatter-add onto visited nodes. v: (B, N) → (B, Nt)."""
+    l, n, w = log.curs.shape
+    b = v.shape[0]
+    f = jnp.asarray(modulator, jnp.float32)
+    weights = (log.loads / w) * f[:, None, None]  # (L, N, W)
+    vals = weights[None, ...] * v[:, None, :, None]  # (B, L, N, W)
+    return (
+        jnp.zeros((b, num_target_nodes), jnp.float32)
+        .at[:, log.curs.reshape(-1)]
+        .add(vals.reshape(b, -1))
+    )
+
+
+def ell_phi_matvec_bm(
+    mats: EllStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``V @ Φᵀ`` over ELL step matrices. v: (B, Nt) → (B, N). Scans over
+    steps so the gather transient is (B, N, R), never (B, L, N, R)."""
+    f = jnp.asarray(modulator, jnp.float32)
+
+    def body(acc, args):
+        cols_l, vals_l, f_l = args
+        g = v[:, cols_l]  # (B, N, R)
+        return acc + f_l * jnp.einsum("nr,bnr->bn", vals_l, g), None
+
+    acc0 = jnp.zeros((v.shape[0], mats.num_nodes), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (mats.cols, mats.vals, f))
+    return acc
+
+
+def ell_phi_rmatvec_bm(
+    mats: EllStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``V @ Φ``. v: (B, N) → (B, Nt)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    b = v.shape[0]
+
+    def body(acc, args):
+        cols_l, vals_l, f_l = args
+        contrib = (f_l * vals_l)[None, :, :] * v[:, :, None]  # (B, N, R)
+        return acc.at[:, cols_l.reshape(-1)].add(contrib.reshape(b, -1)), None
+
+    acc0 = jnp.zeros((b, mats.num_target_nodes), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (mats.cols, mats.vals, f))
+    return acc
+
+
+def stencil_phi_matvec_bm(
+    mats: StencilStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``V @ Φᵀ``: Σ_s w_s ⊙ roll(v, -off_s, axis=-1). v: (B, N) → (B, N)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    w = jnp.einsum("l,lsn->sn", f, mats.vals)  # (S, N)
+    out = jnp.zeros_like(v, dtype=jnp.float32)
+    for si, off in enumerate(mats.offsets.tolist()):
+        out = out + w[si][None, :] * jnp.roll(v, -off, axis=-1)
+    return out
+
+
+def stencil_phi_rmatvec_bm(
+    mats: StencilStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
+) -> jnp.ndarray:
+    """``V @ Φ``: Σ_s roll(w_s ⊙ v, +off_s, axis=-1). v: (B, N) → (B, N)."""
+    f = jnp.asarray(modulator, jnp.float32)
+    w = jnp.einsum("l,lsn->sn", f, mats.vals)
+    out = jnp.zeros_like(v, dtype=jnp.float32)
+    for si, off in enumerate(mats.offsets.tolist()):
+        out = out + jnp.roll(w[si][None, :] * v, off, axis=-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Unified feature-operator protocol: one GP stack over three layouts.
 # ---------------------------------------------------------------------------
 
@@ -360,6 +617,12 @@ class DenseFeatures:
     def rmatvec(self, f, v):
         return self.phi(f).T @ v
 
+    def matvec_bm(self, f, v):
+        return v @ self.phi(f).T
+
+    def rmatvec_bm(self, f, v):
+        return v @ self.phi(f)
+
     def rows(self, f, idx):
         return jnp.einsum(
             "l,lij->ij", jnp.asarray(f, jnp.float32), self.step_matrices[:, idx, :]
@@ -370,9 +633,16 @@ class DenseFeatures:
 @dataclasses.dataclass(frozen=True)
 class EllFeatures:
     """Φ over consolidated ELL step matrices — the large-N regime
-    (replaces reference SparseLinearOperator + per-step CSR list)."""
+    (replaces reference SparseLinearOperator + per-step CSR list).
+
+    When ``csc`` (the column-sorted transpose, see transpose_ell) is
+    attached, Φᵀ products ride the scatter-free gather/segmented-scan path —
+    the difference between ~24 s and sub-second batched rmatvecs at N=1e6 on
+    unstructured graphs. Attach with :func:`with_transpose`.
+    """
 
     mats: EllStepMatrices
+    csc: Optional[CscStepMatrices] = None
 
     @property
     def num_nodes(self) -> int:
@@ -390,10 +660,31 @@ class EllFeatures:
         return ell_phi_matvec(self.mats, f, v)
 
     def rmatvec(self, f, v):
+        if self.csc is not None:
+            return (
+                csc_phi_rmatvec(self.csc, f, v)
+                if v.ndim == 1
+                else csc_phi_rmatvec_bm(self.csc, f, v.T).T
+            )
         return ell_phi_rmatvec(self.mats, f, v)
+
+    def matvec_bm(self, f, v):
+        return ell_phi_matvec_bm(self.mats, f, v)
+
+    def rmatvec_bm(self, f, v):
+        if self.csc is not None:
+            return csc_phi_rmatvec_bm(self.csc, f, v)
+        return ell_phi_rmatvec_bm(self.mats, f, v)
 
     def rows(self, f, idx):
         return ell_phi_rows(self.mats, f, idx)
+
+
+def with_transpose(feats: EllFeatures) -> EllFeatures:
+    """Attach the column-sorted transpose (one sort per step; cacheable)."""
+    if feats.csc is not None:
+        return feats
+    return EllFeatures(mats=feats.mats, csc=transpose_ell(feats.mats))
 
 
 @jax.tree_util.register_dataclass
@@ -418,6 +709,12 @@ class LogFeatures:
 
     def rmatvec(self, f, v):
         return log_phi_rmatvec(self.log, f, v, self.num_target_nodes)
+
+    def matvec_bm(self, f, v):
+        return log_phi_matvec_bm(self.log, f, v)
+
+    def rmatvec_bm(self, f, v):
+        return log_phi_rmatvec_bm(self.log, f, v, self.num_target_nodes)
 
     def rows(self, f, idx):
         return log_phi_rows(self.log, f, idx, self.num_target_nodes)
@@ -472,30 +769,74 @@ class StencilStepMatrices:
         return self.vals.shape[2]
 
 
+@partial(jax.jit, static_argnames=("max_offsets",))
+def _vocab_chunk(cols_c, vals_c, row0, max_offsets: int):
+    """One node-chunk of the offset-vocabulary scan: sorted-unique live
+    ``col − row`` differences, extracted at a STATIC size so every chunk
+    shares one compile (a data-dependent ``nonzero(size=count)`` here cost a
+    fresh XLA compile per chunk — 88 s of a 128 s conversion at N=1e6)."""
+    l, c, r = cols_c.shape
+    rows = row0 + jnp.arange(c, dtype=jnp.int32)[None, :, None]
+    d = jnp.where(
+        vals_c != 0.0, cols_c - rows, _DEAD_COL
+    ).reshape(-1)
+    d = jnp.sort(d)
+    is_new = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
+    live = d != _DEAD_COL
+    count = jnp.sum(is_new & live)
+    # fill positions point at d[-1]: the sentinel when any dead slot exists,
+    # else the largest live diff — np.unique collapses either harmlessly
+    idx = jnp.nonzero(
+        is_new & live, size=max_offsets + 1, fill_value=d.shape[0] - 1
+    )[0]
+    return count, d[idx]
+
+
 def offset_vocabulary(
     mats: EllStepMatrices, max_offsets: int = 256, chunk_rows: int = 1 << 16
 ) -> Optional[np.ndarray]:
     """The sorted set of live ``col - row`` differences, or None if it
     exceeds ``max_offsets`` (unstructured graph → keep ELL)."""
     l, n, r = mats.cols.shape
-    row_ix = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+    sentinel = int(np.int32(2**31 - 1))
     vocab = np.zeros((0,), np.int64)
     for lo in range(0, n, chunk_rows):
         hi = min(lo + chunk_rows, n)
-        diffs = mats.cols[:, lo:hi, :] - row_ix[:, lo:hi, :]
-        live = mats.vals[:, lo:hi, :] != 0.0
-        # one sorted-unique per chunk; sentinel pushes dead slots to the end
-        d = jnp.where(live, diffs, jnp.int32(2**31 - 1)).reshape(-1)
-        d = jnp.sort(d)
-        is_new = jnp.concatenate([jnp.ones((1,), bool), d[1:] != d[:-1]])
-        count = int(jnp.sum(is_new & (d != 2**31 - 1)))
-        if count > max_offsets:
+        count, cand = _vocab_chunk(
+            mats.cols[:, lo:hi, :],
+            mats.vals[:, lo:hi, :],
+            jnp.int32(lo),
+            max_offsets,
+        )
+        if int(count) > max_offsets:
             return None
-        uniq = np.unique(np.asarray(d[np.asarray(jnp.nonzero(is_new, size=count + 1)[0])]))
-        vocab = np.unique(np.concatenate([vocab, uniq[uniq != 2**31 - 1]]))
+        cand = np.asarray(cand)
+        vocab = np.unique(np.concatenate([vocab, cand[cand != sentinel]]))
         if vocab.size > max_offsets:
             return None
     return vocab.astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("num_offsets",))
+def _stencil_chunk(cols_c, vals_c, row0, off_dev, num_offsets: int):
+    """One node-chunk of ELL→stencil: (L, C, R) cols/vals → (L, S, C) slab.
+
+    Slot resolution is a one-hot compare + einsum reduce over R — pure VPU
+    work, no scatters (TPU scatter-adds ran this conversion at ~146 s for
+    N=1e6; this form runs it in seconds). Dead slots contribute exact zeros.
+    """
+    l, c, r = cols_c.shape
+    rows = row0 + jnp.arange(c, dtype=jnp.int32)[None, :, None]
+    diffs = cols_c - rows
+    slot = jnp.minimum(
+        jnp.searchsorted(off_dev, diffs).astype(jnp.int32), num_offsets - 1
+    )
+    live = (vals_c != 0.0) & (off_dev[slot] == diffs)
+    v = jnp.where(live, vals_c, 0.0)
+    onehot = (
+        slot[..., None] == jnp.arange(num_offsets, dtype=jnp.int32)
+    ).astype(jnp.float32)  # (L, C, R, S)
+    return jnp.einsum("lcr,lcrs->lsc", v, onehot)
 
 
 def ell_to_stencil(
@@ -504,7 +845,12 @@ def ell_to_stencil(
     chunk_rows: int = 1 << 16,
 ) -> Optional[StencilStepMatrices]:
     """Convert ELL step matrices to stencil form, or None if the offset
-    vocabulary is too large. One-time scatter cost; cache the result."""
+    vocabulary is too large. One-time cost; cache the result.
+
+    The accumulation chunks the node axis so the (L, C, R, S) one-hot
+    transient stays bounded, and assembles the output by concatenation —
+    chunks tile disjoint node ranges, so no scatter is ever needed.
+    """
     if mats.num_target_nodes != mats.num_nodes:
         return None
     offsets = offset_vocabulary(mats, max_offsets, chunk_rows)
@@ -513,30 +859,21 @@ def ell_to_stencil(
     l, n, r = mats.cols.shape
     s = offsets.shape[0]
     off_dev = jnp.asarray(offsets)
-    out = jnp.zeros((l, s, n), jnp.float32)
-    row_ix = jnp.arange(n, dtype=jnp.int32)[None, :, None]
-    step_ix = jnp.arange(l, dtype=jnp.int32)[:, None, None]
-    for lo in range(0, n, chunk_rows):
-        hi = min(lo + chunk_rows, n)
-        cols_c = mats.cols[:, lo:hi, :]
-        vals_c = mats.vals[:, lo:hi, :]
-        rows_c = jnp.broadcast_to(row_ix[:, lo:hi, :], cols_c.shape)
-        diffs = cols_c - rows_c
-        slot = jnp.searchsorted(off_dev, diffs).astype(jnp.int32)
-        slot = jnp.minimum(slot, s - 1)
-        live = vals_c != 0.0
-        flat = (
-            jnp.broadcast_to(step_ix, cols_c.shape) * (s * n)
-            + slot * n
-            + rows_c
+    # bound the (L, C, R, S) one-hot transient to ~256 MB
+    c_max = max((256 << 20) // (l * r * s * 4), 256)
+    slabs = []
+    for lo in range(0, n, c_max):
+        hi = min(lo + c_max, n)
+        slabs.append(
+            _stencil_chunk(
+                mats.cols[:, lo:hi, :],
+                mats.vals[:, lo:hi, :],
+                jnp.int32(lo),
+                off_dev,
+                s,
+            )
         )
-        flat = jnp.where(live, flat, l * s * n)  # dead → dropped
-        out = (
-            out.reshape(-1)
-            .at[flat.reshape(-1)]
-            .add(vals_c.reshape(-1), mode="drop")
-            .reshape(l, s, n)
-        )
+    out = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=2)
     return StencilStepMatrices(vals=out, offsets=offsets)
 
 
@@ -612,6 +949,12 @@ class StencilFeatures:
 
     def rmatvec(self, f, v):
         return stencil_phi_rmatvec(self.mats, f, v)
+
+    def matvec_bm(self, f, v):
+        return stencil_phi_matvec_bm(self.mats, f, v)
+
+    def rmatvec_bm(self, f, v):
+        return stencil_phi_rmatvec_bm(self.mats, f, v)
 
     def rows(self, f, idx):
         return stencil_phi_rows(self.mats, f, idx)

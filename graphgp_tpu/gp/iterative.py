@@ -48,6 +48,11 @@ def _expand(v: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.zeros((n, v.shape[1]), v.dtype).at[idx].set(v)
 
 
+def _expand_bm(v: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Scatter columns of batch-major v (B, |idx|) into a zero (B, n) array."""
+    return jnp.zeros((v.shape[0], n), v.dtype).at[:, idx].set(v)
+
+
 def make_ktt_matvec(kind: str):
     """Returns ``matvec(carry, v)`` computing ``(K_tt + σ²I) v``.
 
@@ -67,6 +72,57 @@ def make_ktt_matvec(kind: str):
     return matvec
 
 
+def make_ktt_matvec_bm(kind: str):
+    """Batch-major ``(K_tt + σ²I) V`` for V (B, n_train) — the TPU-preferred
+    convention (long axis on the 128 lanes; see features *_bm docs). 1-D
+    inputs are accepted and routed through a (1, n) row internally, so the
+    same matvec serves single-vector solves and their custom-VJP backwards.
+    """
+
+    def matvec(carry, v):
+        if v.ndim == 1:
+            return matvec(carry, v[None, :])[0]
+        params, feats, train_idx = carry
+        f = P.modulator(kind, params, feats.max_walk_length)
+        u = feats.rmatvec_bm(f, _expand_bm(v, train_idx, feats.num_nodes))
+        kv = feats.matvec_bm(f, u)[:, train_idx]
+        return kv + P.noise_variance(params) * v
+
+    return matvec
+
+
+def make_ktt_matvec_bm_masked(kind: str):
+    """Masked batch-major Gram matvec for PADDED observation sets.
+
+    The BO loop grows its observation set every iteration; tracing shapes on
+    the live size would recompile the CG/MLL graphs on every retrain
+    (reference pays this implicitly in eager torch; under jit it is a
+    ~minutes-per-BO-run tax at 1e6 nodes). Instead observations ride a
+    fixed-capacity buffer with a 0/1 mask m, and the padded operator is
+        Ã = M A M + (I − M),  M = diag(m)
+    — block-diagonal, so padded dims are independent unit-variance
+    Gaussians: they contribute 0 to the MLL quadratic (padded y = 0) and
+    log 1 = 0 to the SLQ logdet, and CG on Ã solves the real block exactly.
+    Expansion scatters use .add (padded slots duplicate node 0 with value 0,
+    which must not clobber a real observation at node 0).
+    """
+
+    def matvec(carry, v):
+        if v.ndim == 1:
+            return matvec(carry, v[None, :])[0]
+        params, feats, train_idx, mask = carry
+        vm = v * mask[None, :]
+        f = P.modulator(kind, params, feats.max_walk_length)
+        expanded = jnp.zeros((v.shape[0], feats.num_nodes), v.dtype).at[
+            :, train_idx
+        ].add(vm)
+        u = feats.rmatvec_bm(f, expanded)
+        kv = feats.matvec_bm(f, u)[:, train_idx] * mask[None, :]
+        return kv + P.noise_variance(params) * vm + (v - vm)
+
+    return matvec
+
+
 @partial(jax.jit, static_argnames=("kind", "settings"))
 def mll_cg(
     feats: Features,
@@ -76,6 +132,8 @@ def mll_cg(
     key: jax.Array,
     kind: str = "free",
     settings: CGSettings = CGSettings(),
+    mask: Optional[jnp.ndarray] = None,
+    num_real: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Stochastic estimate of the log marginal likelihood for big N.
 
@@ -84,13 +142,29 @@ def mll_cg(
     Rademacher probes (gradient = probe-averaged trace identity). This is the
     estimator GPyTorch's ExactMarginalLogLikelihood computes under forced-CG
     settings (SURVEY §3.2), as two explicit JAX primitives.
+
+    Everything runs batch-major (B, N): probes are (P, n) rows and the
+    single-vector quad solve rides a (1, n) row, keeping the long node axis
+    on the TPU's 128 lanes (see features *_bm docs for the 16× rationale).
+
+    ``mask``/``num_real`` enable padded fixed-capacity observation buffers
+    (see make_ktt_matvec_bm_masked): padded entries of y must be 0, and
+    ``num_real`` (a traced f32 scalar) replaces the static n in the 2π term.
     """
-    matvec = make_ktt_matvec(kind)
-    carry = (params, jax.lax.stop_gradient(feats), train_idx)
     n = y.shape[0]
-    alpha = cg_solve(matvec, carry, y, settings.cg_tol, settings.cg_max_iters)
+    if mask is None:
+        matvec = make_ktt_matvec_bm(kind)
+        carry = (params, jax.lax.stop_gradient(feats), train_idx)
+        n_term = jnp.float32(n)
+    else:
+        matvec = make_ktt_matvec_bm_masked(kind)
+        carry = (params, jax.lax.stop_gradient(feats), train_idx, mask)
+        n_term = jnp.asarray(num_real, jnp.float32)
+    alpha = cg_solve(
+        matvec, carry, y, settings.cg_tol, settings.cg_max_iters, 0
+    )
     quad = y @ alpha
-    probes = rademacher_probes(key, n, settings.num_probes)
+    probes = rademacher_probes(key, n, settings.num_probes).T  # (P, n)
     logdet = slq_logdet(
         matvec,
         carry,
@@ -98,8 +172,9 @@ def mll_cg(
         settings.num_lanczos_iters,
         settings.cg_tol,
         settings.cg_max_iters,
+        0,
     )
-    return -0.5 * (quad + logdet + n * _LOG2PI)
+    return -0.5 * (quad + logdet + n_term * _LOG2PI)
 
 
 @partial(jax.jit, static_argnames=("kind", "num_samples", "settings"))
@@ -113,13 +188,17 @@ def pathwise_predict(
     kind: str = "free",
     num_samples: int = 64,
     settings: CGSettings = CGSettings(),
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Matheron-rule posterior samples at test nodes → (num_samples, n_test).
 
     Mirrors reference SparseGraphGP.predict (sparse_grf_model.py:21-45):
         f_post(x*) = f_prior(x*) + K*,t (K_tt + σ²I)⁻¹ (y − f_prior(t) − ε)
     with prior function samples f_prior = ε₁ Φᵀ and one batched CG solve for
-    all sample paths at once.
+    all sample paths at once. Runs batch-major (S, N) throughout (see
+    features *_bm docs); the ε draws are transposed from the historical
+    (N, S) shapes so the sample paths are the same draws as the column-major
+    path (results agree up to float reassociation).
     """
     f = P.modulator(kind, params, feats.max_walk_length)
     n = feats.num_nodes
@@ -128,28 +207,41 @@ def pathwise_predict(
     noise_std = jnp.sqrt(noise_var)
     k1, k2 = jax.random.split(key)
 
-    eps1 = jax.random.normal(k1, (nt, num_samples), dtype=jnp.float32)
-    prior_all = feats.matvec(f, eps1)  # (N, S) — prior sample paths Φ ε₁
-    f_train_prior = prior_all[train_idx]  # (n, S)
-    f_test_prior = prior_all[test_idx]  # (n_te, S)
+    eps1 = jax.random.normal(k1, (nt, num_samples), dtype=jnp.float32).T
+    prior_all = feats.matvec_bm(f, eps1)  # (S, N) — prior sample paths Φ ε₁
+    f_train_prior = prior_all[:, train_idx]  # (S, n)
+    f_test_prior = prior_all[:, test_idx]  # (S, n_te)
     eps2 = noise_std * jax.random.normal(
         k2, (train_idx.shape[0], num_samples), dtype=jnp.float32
-    )
+    ).T
 
-    b = y[:, None] - (f_train_prior + eps2)  # (n, S)
-    matvec = make_ktt_matvec(kind)
+    b = y[None, :] - (f_train_prior + eps2)  # (S, n)
+    if mask is None:
+        matvec = make_ktt_matvec_bm(kind)
+        carry = (params, feats, train_idx)
+    else:
+        # Padded fixed-capacity observations (see make_ktt_matvec_bm_masked):
+        # padded residuals are zeroed, so their CG solution components stay 0
+        # and the correction only sums real observations.
+        b = b * mask[None, :]
+        matvec = make_ktt_matvec_bm_masked(kind)
+        carry = (params, feats, train_idx, mask)
     v = batched_cg(
         matvec,
-        (params, feats, train_idx),
+        carry,
         b,
         tol=settings.cg_tol,
         max_iters=settings.cg_max_iters,
-    ).x  # (n, S)
+        batch_axis=0,
+    ).x  # (S, n)
 
     # K_test,train v = Φ_te Φ_trᵀ v, assembled from full-graph products.
-    u = feats.rmatvec(f, _expand(v, train_idx, n))  # (Nt, S)
-    correction = feats.matvec(f, u)[test_idx]  # (n_te, S)
-    return (f_test_prior + correction).T
+    # (.add expansion: padded train slots duplicate node 0 with value 0.)
+    u = feats.rmatvec_bm(
+        f, jnp.zeros((v.shape[0], n), v.dtype).at[:, train_idx].add(v)
+    )  # (S, Nt)
+    correction = feats.matvec_bm(f, u)[:, test_idx]  # (S, n_te)
+    return f_test_prior + correction
 
 
 class PosteriorSummary(NamedTuple):
@@ -171,6 +263,47 @@ class FitResult:
     losses: jnp.ndarray
 
 
+@partial(
+    jax.jit,
+    static_argnames=("kind", "settings", "num_steps", "learning_rate"),
+)
+def _fit_run(
+    feats,
+    train_idx,
+    y,
+    mask,
+    num_real,
+    k_loop,
+    p0,
+    kind: str,
+    settings: CGSettings,
+    num_steps: int,
+    learning_rate: float,
+):
+    """Module-level jitted Adam loop. A per-call ``@jax.jit`` closure (the
+    previous shape of this code) defeats jax's compilation cache — every
+    ``fit`` call retraced the whole CG/SLQ training graph even at identical
+    shapes, a multi-second tax per BO retrain. Keyed here on the static
+    hyperparameters, one compile serves the whole sweep."""
+    opt = optax.adam(learning_rate)
+
+    def step(carry, step_key):
+        p, state = carry
+        loss, grads = jax.value_and_grad(
+            lambda q: -mll_cg(
+                feats, q, train_idx, y, step_key, kind=kind,
+                settings=settings, mask=mask, num_real=num_real,
+            )
+        )(p)
+        updates, state = opt.update(grads, state, p)
+        p = optax.apply_updates(p, updates)
+        return (p, state), loss
+
+    keys = jax.random.split(k_loop, num_steps)
+    (p, _), losses = jax.lax.scan(step, (p0, opt.init(p0)), keys)
+    return p, losses
+
+
 def fit(
     feats: Features,
     train_idx: jnp.ndarray,
@@ -182,32 +315,24 @@ def fit(
     learning_rate: float = 0.1,
     num_steps: int = 50,
     settings: CGSettings = CGSettings(),
+    mask: Optional[jnp.ndarray] = None,
+    num_real: Optional[jnp.ndarray] = None,
 ) -> FitResult:
     """Adam ascent of the CG marginal likelihood (reference protocol: Adam
-    lr=0.1, 50 epochs — run_scaling_experiment.py:606-611)."""
+    lr=0.1, 50 epochs — run_scaling_experiment.py:606-611).
+
+    ``mask``/``num_real`` support padded fixed-capacity observation buffers
+    (single compile across a growing BO run; see make_ktt_matvec_bm_masked).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     k_init, k_loop = jax.random.split(key)
     if init is None:
         init = P.init_params(kind, feats.max_walk_length, k_init)
-    opt = optax.adam(learning_rate)
-
-    @jax.jit
-    def run(p0):
-        def step(carry, step_key):
-            p, state = carry
-            loss, grads = jax.value_and_grad(
-                lambda q: -mll_cg(
-                    feats, q, train_idx, y, step_key, kind=kind, settings=settings
-                )
-            )(p)
-            updates, state = opt.update(grads, state, p)
-            p = optax.apply_updates(p, updates)
-            return (p, state), loss
-
-        keys = jax.random.split(k_loop, num_steps)
-        (p, _), losses = jax.lax.scan(step, (p0, opt.init(p0)), keys)
-        return p, losses
-
-    trained, losses = run(init)
+    if mask is not None and num_real is None:
+        num_real = jnp.sum(mask)
+    trained, losses = _fit_run(
+        feats, train_idx, y, mask, num_real, k_loop, init,
+        kind, settings, num_steps, learning_rate,
+    )
     return FitResult(params=trained, losses=losses)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .features import DenseFeatures
 from .graphs import PackedGraph, normalized_laplacian, pack_laplacian
 from .modulators import diffusion_modulator
 from .walker import WalkConfig, sample_dense_step_matrices, sample_walk_log
@@ -71,6 +72,62 @@ def step_matrices_for_adjacency(
     if method != "gather":
         raise ValueError(f"unknown step-matrix method {method!r}")
     return sample_dense_step_matrices(graph, key, cfg)
+
+
+# Largest dense (L, N, N) step tensor the dense drivers will materialize
+# before falling back to the blocked walk→consolidate pipeline (the
+# (L, N, W) monolithic walk log is bounded separately by that pipeline).
+# 4 GB leaves room on a 16 GB chip for the GP stack's transients.
+DENSE_STEP_BYTES_LIMIT = 4 << 30
+
+
+def features_for_adjacency(
+    adj,
+    key: jax.Array,
+    walks_per_node: int = 50,
+    p_halt: float = 0.1,
+    max_walk_length: int = 10,
+    ablation: bool = False,
+    method: str = "auto",
+    dense_bytes_limit: int = DENSE_STEP_BYTES_LIMIT,
+    layout: str = "auto",
+):
+    """Adjacency → GRF feature operator, with a large-graph guardrail.
+
+    The one entry point the experiment drivers use: in the dense regime
+    (reference protocols at N ≈ 900–6.5k — traffic/Cora/ablation/wind) it
+    returns DenseFeatures from :func:`step_matrices_for_adjacency` (which
+    auto-dispatches to the fused Pallas walker on TPU); above
+    ``dense_bytes_limit`` it silently switches to the blocked
+    walk→consolidate pipeline (never materializing the (L, N, W) log) and
+    the auto feature layout — so the same driver flags serve the full ERA5
+    grid or all of Cora at wpn=4096 without HBM planning by the user.
+    """
+    n = adj.shape[0]
+    if max_walk_length * n * n * 4 <= dense_bytes_limit:
+        return DenseFeatures(
+            step_matrices_for_adjacency(
+                adj, key, walks_per_node, p_halt, max_walk_length,
+                ablation, method,
+            )
+        )
+    from .pipeline import blocked_ell_features
+    from .preprocessor import _apply_layout
+
+    cfg = WalkConfig(
+        walks_per_node=walks_per_node,
+        p_halt=p_halt,
+        max_walk_length=max_walk_length,
+        ablation=ablation,
+    )
+    if ablation:
+        from .graphs import pack_dense
+
+        graph = pack_dense(np.asarray(adj))
+    else:
+        graph = pack_laplacian(adj)
+    feats = blocked_ell_features(graph, key, cfg)
+    return _apply_layout(feats.mats, layout)
 
 
 def fast_general_grf_kernel(

@@ -42,51 +42,65 @@ def batched_cg(
     max_iters: int = 100,
     precond: Optional[Matvec] = None,
     x0: Optional[jnp.ndarray] = None,
+    batch_axis: int = 1,
 ) -> CGResult:
     """Batched preconditioned conjugate gradients.
 
-    b: (N,) or (N, B) — each column solved independently but in lockstep
-    (one fused matvec per iteration; this is what makes pathwise-conditioning
-    prediction with 64+ samples cheap, reference sparse_grf_model.py:42-43).
+    b: (N,), (N, B) with ``batch_axis=1`` (column-major, the historical
+    convention) or (B, N) with ``batch_axis=0`` (batch-major). Each system is
+    solved independently but in lockstep — one fused matvec per iteration;
+    this is what makes pathwise-conditioning prediction with 64+ samples
+    cheap (reference sparse_grf_model.py:42-43). ``matvec`` must follow the
+    same convention as ``b``.
 
-    The loop is a ``lax.while_loop`` with a static ``max_iters`` bound; columns
-    that have converged are frozen via masks so late columns don't pollute
-    early ones.
+    Prefer ``batch_axis=0`` on TPU for small batches: the minor dimension is
+    padded to the 128-lane vector width, so (N, 8) column-major state
+    physically occupies 16× its logical bytes and every loop op pays that
+    (measured 40× end-to-end on the N=1e6 stencil CG).
+
+    The loop is a ``lax.while_loop`` with a static ``max_iters`` bound;
+    systems that have converged are frozen via masks so late ones don't
+    pollute early ones.
     """
     single = b.ndim == 1
     if single:
-        b = b[:, None]
-    x = jnp.zeros_like(b) if x0 is None else (x0[:, None] if single else x0)
+        # Honor batch_axis for the internal layout: a (1, N) row keeps the
+        # long axis on the 128 lanes; a (N, 1) column pads 1 → 128.
+        expand = (lambda v: v[None, :]) if batch_axis == 0 else (lambda v: v[:, None])
+        b = expand(b)
+    red = 1 - batch_axis  # the N axis
+    bcast = (lambda s: s[None, :]) if batch_axis == 1 else (lambda s: s[:, None])
+    x = jnp.zeros_like(b) if x0 is None else (expand(x0) if single else x0)
     r = b - matvec(params, x)
     z = r if precond is None else precond(params, r)
     p = z
-    rz = jnp.sum(r * z, axis=0)  # (B,)
-    b_norm = jnp.maximum(jnp.linalg.norm(b, axis=0), 1e-30)
+    rz = jnp.sum(r * z, axis=red)  # (B,)
+    b_norm = jnp.maximum(jnp.linalg.norm(b, axis=red), 1e-30)
 
     def cond(state):
         x, r, z, p, rz, it = state
-        res = jnp.linalg.norm(r, axis=0) / b_norm
+        res = jnp.linalg.norm(r, axis=red) / b_norm
         return (it < max_iters) & jnp.any(res > tol)
 
     def body(state):
         x, r, z, p, rz, it = state
         ap = matvec(params, p)
-        denom = jnp.sum(p * ap, axis=0)
+        denom = jnp.sum(p * ap, axis=red)
         alpha = jnp.where(denom != 0, rz / jnp.where(denom != 0, denom, 1.0), 0.0)
-        active = (jnp.linalg.norm(r, axis=0) / b_norm) > tol
+        active = (jnp.linalg.norm(r, axis=red) / b_norm) > tol
         alpha = jnp.where(active, alpha, 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * ap
+        x = x + bcast(alpha) * p
+        r = r - bcast(alpha) * ap
         z_new = r if precond is None else precond(params, r)
-        rz_new = jnp.sum(r * z_new, axis=0)
+        rz_new = jnp.sum(r * z_new, axis=red)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z_new + beta[None, :] * p
+        p = z_new + bcast(beta) * p
         return (x, r, z_new, p, rz_new, it + 1)
 
     x, r, _, _, _, it = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
-    res = jnp.linalg.norm(r, axis=0) / b_norm
+    res = jnp.linalg.norm(r, axis=red) / b_norm
     if single:
-        return CGResult(x[:, 0], it, res[0])
+        return CGResult(x[0] if batch_axis == 0 else x[:, 0], it, res[0])
     return CGResult(x, it, res)
 
 
@@ -95,30 +109,40 @@ def batched_cg(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
 def cg_solve(
     matvec: Matvec,
     params: Any,
     b: jnp.ndarray,
     tol: float = 1e-4,
     max_iters: int = 200,
+    batch_axis: int = 1,
 ) -> jnp.ndarray:
     """``x = A(params)^{-1} b`` with adjoint-solve gradients.
+
+    ``batch_axis`` selects the matvec/layout convention (see batched_cg);
+    single vectors are solved internally in that layout too.
 
     VJP: given cotangent g, solve ``u = A^{-1} g`` (A symmetric), then
     ``d params = -vjp_of_matvec_at_x(u)`` and ``d b = u``.
     """
-    return batched_cg(matvec, params, b, tol=tol, max_iters=max_iters).x
+    return batched_cg(
+        matvec, params, b, tol=tol, max_iters=max_iters, batch_axis=batch_axis
+    ).x
 
 
-def _cg_solve_fwd(matvec, params, b, tol, max_iters):
-    x = batched_cg(matvec, params, b, tol=tol, max_iters=max_iters).x
+def _cg_solve_fwd(matvec, params, b, tol, max_iters, batch_axis):
+    x = batched_cg(
+        matvec, params, b, tol=tol, max_iters=max_iters, batch_axis=batch_axis
+    ).x
     return x, (params, x)
 
 
-def _cg_solve_bwd(matvec, tol, max_iters, residuals, g):
+def _cg_solve_bwd(matvec, tol, max_iters, batch_axis, residuals, g):
     params, x = residuals
-    u = batched_cg(matvec, params, g, tol=tol, max_iters=max_iters).x
+    u = batched_cg(
+        matvec, params, g, tol=tol, max_iters=max_iters, batch_axis=batch_axis
+    ).x
     # dL/dparams = -u^T (dA/dparams) x  via vjp of v ↦ matvec(params, v) at x
     _, vjp_fn = jax.vjp(lambda p: matvec(p, x), params)
     (dparams,) = vjp_fn(-u)
@@ -140,33 +164,42 @@ def lanczos(
     num_iters: int,
     *,
     reorthogonalize: bool = True,
+    batch_axis: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lanczos tridiagonalization of symmetric A from start vector v0.
 
-    v0: (N,) or (N, B) batch of start vectors (independent Krylov spaces,
-    lockstep matvecs). Returns (alphas (m[, B]), betas (m-1[, B])).
+    v0: (N,), (N, B) with ``batch_axis=1``, or (B, N) with ``batch_axis=0``
+    (independent Krylov spaces, lockstep matvecs; see batched_cg for why
+    batch-major wins on TPU — the stored basis is (m, B, N) there instead of
+    a 16×-padded (m, N, B)). Returns (alphas (m[, B]), betas (m-1[, B])).
     """
     single = v0.ndim == 1
     if single:
         v0 = v0[:, None]
-    n, b = v0.shape
-    q = v0 / jnp.maximum(jnp.linalg.norm(v0, axis=0, keepdims=True), 1e-30)
+        batch_axis = 1
+    red = 1 - batch_axis
+    bcast = (lambda s: s[None, :]) if batch_axis == 1 else (lambda s: s[:, None])
+    b = v0.shape[batch_axis]
+    q = v0 / jnp.maximum(jnp.linalg.norm(v0, axis=red, keepdims=True), 1e-30)
+    proj_in, proj_out = (
+        ("mnb,nb->mb", "mnb,mb->nb") if batch_axis == 1 else ("mbn,bn->mb", "mbn,mb->bn")
+    )
 
     def step(carry, _):
         q_prev, q_cur, beta_prev, basis, k = carry
         w = matvec(params, q_cur)
-        alpha = jnp.sum(q_cur * w, axis=0)
-        w = w - alpha[None, :] * q_cur - beta_prev[None, :] * q_prev
+        alpha = jnp.sum(q_cur * w, axis=red)
+        w = w - bcast(alpha) * q_cur - bcast(beta_prev) * q_prev
         if reorthogonalize:
             # full reorthogonalization against stored basis (m is small)
-            proj = jnp.einsum("mnb,nb->mb", basis, w)
-            w = w - jnp.einsum("mnb,mb->nb", basis, proj)
-        beta = jnp.linalg.norm(w, axis=0)
-        q_next = w / jnp.maximum(beta[None, :], 1e-30)
+            proj = jnp.einsum(proj_in, basis, w)
+            w = w - jnp.einsum(proj_out, basis, proj)
+        beta = jnp.linalg.norm(w, axis=red)
+        q_next = w / jnp.maximum(bcast(beta), 1e-30)
         basis = basis.at[k].set(q_cur)
         return (q_cur, q_next, beta, basis, k + 1), (alpha, beta)
 
-    basis0 = jnp.zeros((num_iters, n, b), dtype=v0.dtype)
+    basis0 = jnp.zeros((num_iters,) + v0.shape, dtype=v0.dtype)
     init = (jnp.zeros_like(q), q, jnp.zeros((b,), v0.dtype), basis0, 0)
     _, (alphas, betas) = jax.lax.scan(step, init, None, length=num_iters)
     if single:
@@ -193,13 +226,15 @@ def _slq_from_tridiag(alphas, betas, norms_sq, n_probes):
     return jnp.mean(vals)
 
 
-def _slq_forward(matvec, params, probes, num_lanczos_iters):
-    alphas, betas = lanczos(matvec, params, probes, num_lanczos_iters)
-    norms_sq = jnp.sum(probes * probes, axis=0)
-    return _slq_from_tridiag(alphas, betas, norms_sq, probes.shape[1])
+def _slq_forward(matvec, params, probes, num_lanczos_iters, batch_axis):
+    alphas, betas = lanczos(
+        matvec, params, probes, num_lanczos_iters, batch_axis=batch_axis
+    )
+    norms_sq = jnp.sum(probes * probes, axis=1 - batch_axis)
+    return _slq_from_tridiag(alphas, betas, norms_sq, probes.shape[batch_axis])
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6))
 def slq_logdet(
     matvec: Matvec,
     params: Any,
@@ -207,29 +242,39 @@ def slq_logdet(
     num_lanczos_iters: int = 20,
     solver_tol: float = 1e-3,
     solver_max_iters: int = 200,
+    batch_axis: int = 1,
 ) -> jnp.ndarray:
     """Stochastic Lanczos quadrature estimate of ``logdet A(params)``.
 
-    probes: (N, P) Rademacher (±1) probe vectors.
+    probes: Rademacher (±1) probe vectors — (N, P) with ``batch_axis=1``,
+    (P, N) with ``batch_axis=0`` (batch-major; the TPU-preferred layout,
+    see batched_cg). ``matvec`` must follow the same convention.
     Gradient: ``d logdet = E_z[z^T A^{-1} (dA) z]`` — backward runs CG solves
     of the probes (GPyTorch's strategy, done here with a JAX custom VJP).
     """
-    return _slq_forward(matvec, params, probes, num_lanczos_iters)
+    return _slq_forward(matvec, params, probes, num_lanczos_iters, batch_axis)
 
 
-def _slq_fwd(matvec, params, probes, num_lanczos_iters, solver_tol, solver_max_iters):
+def _slq_fwd(
+    matvec, params, probes, num_lanczos_iters, solver_tol, solver_max_iters,
+    batch_axis,
+):
     # NB: custom_vjp fwd receives args in their ORIGINAL positions (nondiff
     # included); only the bwd gets nondiff args as leading arguments.
-    val = _slq_forward(matvec, params, probes, num_lanczos_iters)
+    val = _slq_forward(matvec, params, probes, num_lanczos_iters, batch_axis)
     return val, (params, probes)
 
 
-def _slq_bwd(matvec, num_lanczos_iters, solver_tol, solver_max_iters, residuals, g):
+def _slq_bwd(
+    matvec, num_lanczos_iters, solver_tol, solver_max_iters, batch_axis,
+    residuals, g,
+):
     params, probes = residuals
     solves = batched_cg(
-        matvec, params, probes, tol=solver_tol, max_iters=solver_max_iters
-    ).x  # (N, P)
-    p = probes.shape[1]
+        matvec, params, probes, tol=solver_tol, max_iters=solver_max_iters,
+        batch_axis=batch_axis,
+    ).x
+    p = probes.shape[batch_axis]
 
     # d logdet/d params = (1/P) Σ_p (A^{-1} z_p)^T (dA/dparams) z_p
     def quad(pp):

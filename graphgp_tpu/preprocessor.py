@@ -129,11 +129,19 @@ def preprocess_graph(
 
 def _apply_layout(mats: EllStepMatrices, layout: str):
     """ELL step matrices → requested feature layout. ``auto`` upgrades to the
-    gather-free stencil form when the graph's offset vocabulary is small."""
+    gather-free stencil form when the graph's offset vocabulary is small
+    (structured graphs), and otherwise attaches the column-sorted transpose
+    so Φᵀ products avoid TPU scatter-adds (unstructured graphs)."""
     if layout == "auto":
-        from .features import StencilFeatures, ell_to_stencil
+        from .features import StencilFeatures, ell_to_stencil, with_transpose
 
-        stencil = ell_to_stencil(mats)
+        # Stencil matvecs cost O(N·S): only worth it when the offset
+        # vocabulary is far smaller than the graph (structured graphs keep
+        # S constant in N — e.g. 61 at L=5 on a 4-neighbor grid — while on
+        # unstructured graphs it grows ~linearly and ELL+transpose wins).
+        max_offsets = min(256, max(64, int(mats.num_nodes ** 0.5)))
+        stencil = ell_to_stencil(mats, max_offsets=max_offsets)
         if stencil is not None:
             return StencilFeatures(stencil)
+        return with_transpose(EllFeatures(mats))
     return EllFeatures(mats)

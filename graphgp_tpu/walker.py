@@ -119,13 +119,36 @@ _F32_EXACT_INT = 1 << 24
 # max_degree^l exactly-l-step path endpoints of its start node, so the
 # neighbor rows can be fetched once per (node, endpoint) and lanes resolved by
 # an in-register id match — N*D^l row gathers instead of N*W. Used while the
-# fanout and the materialized intermediates stay under these caps, the fanout
-# amortizes (D^l < walks_per_node), and only for a bounded number of Python-
-# unrolled steps (degree-1 graphs keep fanout=1 forever; without the step cap
-# trace time would grow linearly with max_walk_length).
+# fanout stays under these caps, the fanout amortizes (D^l < walks_per_node),
+# and only for a bounded number of Python-unrolled steps (degree-1 graphs keep
+# fanout=1 forever; without the step cap trace time would grow linearly with
+# max_walk_length). The (N, W, fanout) lane-resolution intermediates are NOT a
+# viability concern: they are chunked over walk lanes (see _hop_lane_chunk),
+# so only the fetched (N, fanout, F) row table must fit HOP_MAX_BYTES.
 HOP_MAX_FANOUT = 32
 HOP_MAX_BYTES = 1 << 30
 HOP_MAX_STEPS = 6
+# Lane-resolution sizing: one-shot while the (N, W, max(fanout, F)) transient
+# stays under HOP_ONESHOT_BYTES (measured safe on a 16 GB v5e: the N=2^20,
+# W=100 ring walk peaks ~7 GB total and runs 7.4x faster than per-lane
+# gathers); above that, lanes are processed in walk chunks bounded by
+# HOP_CHUNK_BYTES under a lax.scan — bit-identical, just evaluation order.
+HOP_ONESHOT_BYTES = 3 << 30
+HOP_CHUNK_BYTES = 512 << 20
+
+
+def _hop_lane_chunk(n: int, w: int, fanout: int, f_cols: int) -> int:
+    """Walk-lane chunk width for hop-step lane resolution (a divisor of w)."""
+
+    def bytes_at(wb: int) -> int:
+        return n * wb * max(fanout, f_cols) * 4
+
+    if bytes_at(w) <= HOP_ONESHOT_BYTES:
+        return w
+    for c in range(2, w + 1):
+        if w % c == 0 and bytes_at(w // c) <= HOP_CHUNK_BYTES:
+            return w // c
+    return 1
 
 
 def _onehot_row_select(rows_nbr, rows_wgt, degf, u_pick):
@@ -351,15 +374,15 @@ def sample_walk_log(
         fanout = d
 
         def _hop_viable(fan: int) -> bool:
-            # Budget covers BOTH materialized intermediates of a hop step: the
-            # (N, fan, F) fetched rows AND the (N, W, fan) one-hot/compare —
-            # the latter dominates at large walks_per_node. The fan < w
-            # condition keeps the hop only while it does strictly fewer row
-            # gathers than the per-lane path it replaces.
+            # Only the (N, fan, F) fetched row table must fit the budget: the
+            # (N, W, fan) lane-resolution intermediates are chunked over walk
+            # lanes by _hop_lane_chunk, so they never gate viability. The
+            # fan < w condition keeps the hop only while it does strictly
+            # fewer row gathers than the per-lane path it replaces.
             return (
                 fan <= HOP_MAX_FANOUT
                 and fan < w
-                and max(n * fan * f_cols, n * w * fan) * 4 <= HOP_MAX_BYTES
+                and n * fan * f_cols * 4 <= HOP_MAX_BYTES
             )
 
         while l_next < cfg.max_walk_length and l_next <= HOP_MAX_STEPS:
@@ -374,18 +397,40 @@ def sample_walk_log(
                 _hash_words(k0, k1, l_next * 2 + 1, global_node, walk_id)
             )
             rows = hop["table"][ids]  # (N, K, F) — the step's only gather
-            match_ix = jnp.argmax(
-                cur[:, :, None] == ids[:, None, :], axis=-1
-            )  # first occurrence; duplicate ids share identical rows
-            onehot = jax.nn.one_hot(match_ix, fanout, dtype=jnp.float32)
-            lane_rows = jnp.einsum(
-                "nwk,nkf->nwf",
-                onehot,
-                rows,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            degf, nxt, wgt = hop["select"](lane_rows, u_pick)
+
+            def resolve(cur_c, u_pick_c):
+                # Lane resolution: match each lane's position against the
+                # node's endpoint ids (first occurrence; duplicate ids share
+                # identical rows) and pull its row via one-hot MXU select.
+                match_ix = jnp.argmax(
+                    cur_c[:, :, None] == ids[:, None, :], axis=-1
+                )
+                onehot = jax.nn.one_hot(match_ix, fanout, dtype=jnp.float32)
+                lane_rows = jnp.einsum(
+                    "nwk,nkf->nwf",
+                    onehot,
+                    rows,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                return hop["select"](lane_rows, u_pick_c)
+
+            wb = _hop_lane_chunk(n, w, fanout, f_cols)
+            if wb == w:
+                degf, nxt, wgt = resolve(cur, u_pick)
+            else:
+                # Chunk lanes so the (N, wb, fanout/F) transients stay inside
+                # HOP_CHUNK_BYTES; scan stacks (C, N, wb) outputs which are
+                # transposed back — bit-identical to the one-shot resolve.
+                c = w // wb
+                split = lambda a: a.reshape(n, c, wb).transpose(1, 0, 2)
+                join = lambda a: a.transpose(1, 0, 2).reshape(n, w)
+                _, (degf, nxt, wgt) = jax.lax.scan(
+                    lambda _, args: (None, resolve(*args)),
+                    None,
+                    (split(cur), split(u_pick)),
+                )
+                degf, nxt, wgt = join(degf), join(nxt), join(wgt)
             carry = transition(carry, jnp.uint32(l_next), degf, nxt, wgt, u_halt)
             l_next += 1
             if l_next >= cfg.max_walk_length or not _hop_viable(fanout * d):

@@ -90,3 +90,45 @@ def test_load_cora_fabricated(tmp_path):
     assert set(labels.tolist()) <= {0, 1, 2}
     assert tr.size == 2 and te.size == 2
     assert len(set(tr.tolist()) & set(te.tolist())) == 0
+
+
+def test_pems_like_generator():
+    """Offline PEMS stand-in must reproduce the reference construction's
+    statistics: highway degree profile (sensors/corridors degree 2,
+    junctions 3+), weight = mean_length/length, sensors on the graph."""
+    from graphgp_tpu.data import synthetic
+
+    d = synthetic.generate("pems_like", 0, n_sensors=100, n_junctions=32, seed=3)
+    adj = d["adjacency"]
+    n = adj.shape[0]
+    assert d["y_observed"].shape == (n,)
+    sensors = d["sensor_nodes"]
+    assert sensors.size == 100
+    assert sensors.max() < n
+
+    import numpy as np
+    deg = np.asarray((adj != 0).sum(axis=1)).ravel()
+    # connected-ish highway profile: every node has a road, sensors are
+    # degree-2 splices, most nodes are corridor nodes
+    assert deg.min() >= 1
+    assert (deg[sensors] == 2).all()
+    assert np.median(deg) == 2
+    assert deg.max() >= 3  # junctions exist
+
+    # reference weight convention: w = mean_length/length → mean(1/w
+    # normalized) ≈ 1; weights positive and spread
+    w = adj.data
+    assert (w > 0).all()
+    lengths = 1.0 / w
+    np.testing.assert_allclose(
+        lengths.mean() / lengths.mean(), 1.0
+    )
+    assert w.std() / w.mean() > 0.2  # real length variance, not a grid
+
+    # connected graph (single component)
+    import scipy.sparse.csgraph as csgraph
+    ncomp, _ = csgraph.connected_components(adj, directed=False)
+    assert ncomp == 1
+
+    # speed field in a plausible range with congestion structure
+    assert 20.0 < d["y_true"].min() < d["y_true"].max() <= 66.0

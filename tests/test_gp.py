@@ -219,3 +219,55 @@ def test_hmc_gp_posterior(problem):
     # posterior over beta should not collapse to init
     betas = np.asarray(jax.nn.softplus(res.samples["raw_beta"]))
     assert betas.std() > 0.0
+
+
+def test_batch_major_products_match_column_major(problem):
+    """matvec_bm/rmatvec_bm must equal the transposed column-major products
+    on every feature layout (the TPU batch-major fast path is a layout
+    change, never a semantics change)."""
+    p = problem
+    cfg = p["cfg"]
+    log = p["log"]
+    n = log.num_nodes
+    cap = suggest_row_capacity(log)
+    layouts = [
+        p["feats"],
+        EllFeatures(consolidate(log, cap, walks_per_node=cfg.walks_per_node)),
+        LogFeatures(log, n),
+    ]
+    f = jnp.linspace(1.0, -0.5, cfg.max_walk_length)
+    v = jax.random.normal(jax.random.PRNGKey(3), (n, 5))
+    for feats in layouts:
+        np.testing.assert_allclose(
+            np.asarray(feats.matvec_bm(f, v.T)),
+            np.asarray(feats.matvec(f, v)).T,
+            atol=1e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(feats.rmatvec_bm(f, v.T)),
+            np.asarray(feats.rmatvec(f, v)).T,
+            atol=1e-4, rtol=1e-4,
+        )
+
+
+def test_batched_cg_batch_major_matches(problem):
+    """batch_axis=0 CG must agree with the column-major solve."""
+    from graphgp_tpu.gp.iterative import make_ktt_matvec, make_ktt_matvec_bm
+    from graphgp_tpu.linalg import batched_cg
+
+    p = problem
+    feats = p["feats"]
+    params = P.init_params("diffusion", feats.max_walk_length,
+                           jax.random.PRNGKey(0), noise=0.3)
+    tr = p["train_idx"]
+    b = jax.random.normal(jax.random.PRNGKey(4), (tr.shape[0], 3))
+    col = batched_cg(
+        make_ktt_matvec("diffusion"), (params, feats, tr), b,
+        tol=1e-8, max_iters=200,
+    ).x
+    row = batched_cg(
+        make_ktt_matvec_bm("diffusion"), (params, feats, tr), b.T,
+        tol=1e-8, max_iters=200, batch_axis=0,
+    ).x
+    np.testing.assert_allclose(np.asarray(row), np.asarray(col).T,
+                               atol=1e-3, rtol=1e-3)

@@ -73,6 +73,15 @@ def test_stencil_matches_ell(builder):
         np.asarray(feats.rmatvec(f, vb)), np.asarray(ell.rmatvec(f, vb)),
         atol=1e-5, rtol=1e-5,
     )
+    # batch-major variants are a layout change, never a semantics change
+    np.testing.assert_allclose(
+        np.asarray(feats.matvec_bm(f, vb.T)), np.asarray(ell.matvec(f, vb)).T,
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats.rmatvec_bm(f, vb.T)), np.asarray(ell.rmatvec(f, vb)).T,
+        atol=1e-5, rtol=1e-5,
+    )
     idx = jnp.asarray([0, 3, n - 1], jnp.int32)
     np.testing.assert_allclose(
         np.asarray(feats.rows(f, idx)), np.asarray(ell.rows(f, idx)),

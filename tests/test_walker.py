@@ -317,3 +317,33 @@ def test_walk_length_zero_returns_empty():
     log = sample_walk_log(graph, jax.random.PRNGKey(0), cfg)
     assert log.curs.shape == (0, 4, 3)
     assert log.loads.shape == (0, 4, 3)
+
+
+def test_hop_lane_chunking_bit_identical(monkeypatch):
+    """Forcing the hop lane-resolution into walk chunks must reproduce the
+    one-shot results bit-exactly (chunking only changes evaluation order)."""
+    import graphgp_tpu.walker as W
+
+    n = 48
+    adj = np.zeros((n, n))
+    idx = np.arange(n)
+    adj[idx, (idx + 1) % n] = 1.0
+    adj[(idx + 1) % n, idx] = 1.0
+    graph = pack_laplacian(adj)
+    cfg = WalkConfig(walks_per_node=12, p_halt=0.1, max_walk_length=4)
+    key = jax.random.PRNGKey(5)
+
+    # sanity: the hop path is active at this shape (degree-3 ring)
+    assert W._hop_lane_chunk(n, 12, 3, 7) == 12
+    ref = sample_walk_log(graph, key, cfg)
+
+    # shrink the one-shot budget so lanes split into chunks of ≤4
+    monkeypatch.setattr(W, "HOP_ONESHOT_BYTES", 1)
+    monkeypatch.setattr(W, "HOP_CHUNK_BYTES", n * 4 * max(3, 7) * 4)
+    assert W._hop_lane_chunk(n, 12, 3, 7) < 12
+    chunked = W.sample_walk_log.__wrapped__(graph, key, cfg)
+
+    np.testing.assert_array_equal(np.asarray(ref.curs), np.asarray(chunked.curs))
+    np.testing.assert_array_equal(
+        np.asarray(ref.loads), np.asarray(chunked.loads)
+    )
