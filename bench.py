@@ -126,18 +126,20 @@ def bench_walk_throughput():
 def bench_cg(feats):
     """CG iterations/s on the 1e6-node Gram solve (fixed 20 iterations).
 
-    Runs on the stencil layout: the bench graph is a 1000×1000 grid, so the
-    offset-vocabulary conversion always succeeds, and every CG matvec is
-    rolls + elementwise FMAs — no gathers/scatters, no watchdog exposure
-    (the ELL layout's batched scatter rmatvec at this shape runs ~24 s/op,
-    which stacked 20× inside one while_loop dispatch kills the TPU worker).
+    Runs on the stencil layout (the bench graph is a 1000×1000 grid, so the
+    offset-vocabulary conversion always succeeds) through the FULL-SPACE
+    masked Gram operator with a pre-contracted Φ: every loop op is rolls +
+    elementwise FMAs — no gathers/scatters and no per-iteration modulator
+    re-fold (the compact train-space operator's (B,500k)↔(B,1M)
+    scatter/gather per iteration and its 2×820 MB stencil re-contractions
+    ran this at 4.8 iters/s; see gp/iterative.make_gram_matvec_bm_full).
     """
     import jax
     import jax.numpy as jnp
 
-    from graphgp_tpu.features import StencilFeatures, ell_to_stencil
+    from graphgp_tpu.features import StencilFeatures, contract, ell_to_stencil
     from graphgp_tpu.gp import params as P
-    from graphgp_tpu.gp.iterative import make_ktt_matvec_bm
+    from graphgp_tpu.gp.iterative import make_gram_matvec_bm_full
     from graphgp_tpu.linalg import batched_cg
 
     t0 = time.time()
@@ -153,17 +155,25 @@ def bench_cg(feats):
     train_idx = jnp.arange(0, n, 2, dtype=jnp.int32)
     params = P.init_params("diffusion", sfeats.max_walk_length,
                            jax.random.PRNGKey(0), noise=0.1)
-    # batch-major (B, n_train): the long axis rides the 128 lanes
-    b = jax.random.normal(jax.random.PRNGKey(1), (8, train_idx.shape[0]))
-    matvec = make_ktt_matvec_bm("diffusion")
     iters = 20
+    matvec = make_gram_matvec_bm_full()
+
+    @jax.jit
+    def solve(params, sfeats, b):
+        f = P.modulator("diffusion", params, sfeats.max_walk_length)
+        phi = contract(sfeats, f)
+        node_mask = jnp.zeros((n,), jnp.float32).at[train_idx].set(1.0)
+        carry = (phi, P.noise_variance(params), node_mask)
+        return batched_cg(
+            matvec, carry, b * node_mask[None, :], tol=0.0, max_iters=iters,
+            batch_axis=0,
+        ).x
+
+    # batch-major (B, N) full-space RHS; the long axis rides the 128 lanes
+    b = jax.random.normal(jax.random.PRNGKey(1), (8, n))
 
     def run():
-        res = batched_cg(
-            matvec, (params, sfeats, train_idx), b, tol=0.0, max_iters=iters,
-            batch_axis=0,
-        )
-        float(jnp.sum(res.x))
+        float(jnp.sum(solve(params, sfeats, b)))
 
     run()  # compile
     dt = _timeit(run, reps=2)

@@ -174,14 +174,78 @@ class GraphDataLoader:
         return out
 
 
+def load_cora_graphml(
+    path: str, num_train: int = 1988, num_test: int = 497, seed: int = 0
+):
+    """Cora LCC from a GraphML export with per-node ``ground_truth`` labels.
+
+    The reference ships ``cora_result.graphml`` (experiments/dense/cora/data/
+    cora/) carrying the 2485-node largest connected component with 7-class
+    ground-truth labels — the only offline artifact that includes labels
+    (``cora.content`` is absent). Parsed with the stdlib XML parser, no
+    NetworkX. Returns (adjacency_csr, labels, train_idx, test_idx)."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.parse(path).getroot()
+    label_key = None
+    for k in root.findall("g:key", ns):
+        if k.get("attr.name") == "ground_truth":
+            label_key = k.get("id")
+    if label_key is None:
+        raise ValueError(f"{path}: no 'ground_truth' node attribute")
+    graph = root.find("g:graph", ns)
+    ids, raw_labels = [], []
+    for nd in graph.findall("g:node", ns):
+        ids.append(nd.get("id"))
+        val = np.nan
+        for d in nd.findall("g:data", ns):
+            if d.get("key") == label_key:
+                val = float(d.text)
+        raw_labels.append(val)
+    id_map = {s: i for i, s in enumerate(ids)}
+    n = len(ids)
+    us, vs = [], []
+    for e in graph.findall("g:edge", ns):
+        us.append(id_map[e.get("source")])
+        vs.append(id_map[e.get("target")])
+    us, vs = np.asarray(us), np.asarray(vs)
+    keep = us != vs
+    us, vs = us[keep], vs[keep]
+    adj = sp.coo_matrix(
+        (np.ones(us.size * 2), (np.concatenate([us, vs]), np.concatenate([vs, us]))),
+        shape=(n, n),
+    ).tocsr()
+    adj.data[:] = 1.0
+    classes = {v: i for i, v in enumerate(sorted(set(raw_labels)))}
+    labels = np.asarray([classes[v] for v in raw_labels], np.int32)
+
+    if num_train + num_test > n:
+        num_train = min(num_train, int(n * 0.8))
+        num_test = n - num_train
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    train_idx = np.sort(perm[:num_train]).astype(np.int32)
+    test_idx = np.sort(perm[num_train : num_train + num_test]).astype(np.int32)
+    return adj, labels, train_idx, test_idx
+
+
 def load_cora(data_dir: str, num_train: int = 1988, num_test: int = 497, seed: int = 0):
     """Cora citation graph: largest connected component, 7-class labels.
 
     Functional port of reference ``load_cora`` (experiments/dense/cora/
     cora_utils/preprocessing.py:14-68) minus its absolute scratch path and
     NetworkX pipeline: expects ``cora.cites`` / ``cora.content`` under
-    ``data_dir``. Returns (adjacency_csr, labels, train_idx, test_idx)."""
+    ``data_dir``. When ``cora.content`` is absent but a labeled
+    ``cora_result.graphml`` exists (the artifact the reference ships), falls
+    back to :func:`load_cora_graphml`. Returns (adjacency_csr, labels,
+    train_idx, test_idx)."""
     import pandas as pd
+
+    content_path = os.path.join(data_dir, "cora.content")
+    graphml_path = os.path.join(data_dir, "cora_result.graphml")
+    if not os.path.exists(content_path) and os.path.exists(graphml_path):
+        return load_cora_graphml(graphml_path, num_train, num_test, seed)
 
     cites = pd.read_csv(
         os.path.join(data_dir, "cora.cites"), sep="\t", header=None,

@@ -963,6 +963,112 @@ class StencilFeatures:
 Features = Any  # DenseFeatures | EllFeatures | LogFeatures | StencilFeatures
 
 
+# ---------------------------------------------------------------------------
+# Contracted Φ operators: the modulator is folded in ONCE, outside the CG /
+# Lanczos loops.
+#
+# Every stencil product used to re-contract w = Σ_l f_l · vals_l inside the
+# loop body — at N=1e6, L=5, S=41 that is an 820 MB read of stencil.vals per
+# product, ~1.6 GB of pure re-computation per CG iteration. A contracted
+# operator carries w (S, N) = 164 MB instead, and the solvers put it in the
+# matvec carry so gradients still flow through w back to f (the custom-VJP
+# solvers differentiate the carry pytree).
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ContractedStencil:
+    """``Φ = Σ_s diag(w_s) · shift(off_s)`` with the modulator pre-folded.
+
+    w: f32[S, N] — w[s, i] = Σ_l f_l · stencil.vals[l, s, i].
+    """
+
+    w: jnp.ndarray
+    offsets: np.ndarray = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_nodes(self) -> int:
+        return self.w.shape[1]
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.w.shape[1]
+
+    def matvec_bm(self, v: jnp.ndarray) -> jnp.ndarray:
+        """``V @ Φᵀ``: Σ_s w_s ⊙ roll(v, -off_s, axis=-1). v: (B, N)."""
+        out = jnp.zeros_like(v, dtype=jnp.float32)
+        for si, off in enumerate(self.offsets.tolist()):
+            out = out + self.w[si][None, :] * jnp.roll(v, -off, axis=-1)
+        return out
+
+    def rmatvec_bm(self, v: jnp.ndarray) -> jnp.ndarray:
+        """``V @ Φ``: Σ_s roll(w_s ⊙ v, +off_s, axis=-1). v: (B, N)."""
+        out = jnp.zeros_like(v, dtype=jnp.float32)
+        for si, off in enumerate(self.offsets.tolist()):
+            out = out + jnp.roll(self.w[si][None, :] * v, off, axis=-1)
+        return out
+
+    def rows(self, idx: jnp.ndarray) -> jnp.ndarray:
+        """Dense ``Φ[idx, :]`` (R, N) — small scatter (R·S entries)."""
+        n = self.num_nodes
+        r = idx.shape[0]
+        idx = jnp.asarray(idx, jnp.int32)
+        wr = self.w[:, idx]  # (S, R)
+        cols = idx[None, :] + jnp.asarray(self.offsets)[:, None]  # (S, R)
+        row_ix = jnp.broadcast_to(
+            jnp.arange(r, dtype=jnp.int32)[None, :], cols.shape
+        )
+        ok = (cols >= 0) & (cols < n)
+        flat = jnp.where(ok, row_ix * n + cols, r * n)
+        out = jnp.zeros((r * n,), jnp.float32).at[flat.reshape(-1)].add(
+            jnp.where(ok, wr, 0.0).reshape(-1), mode="drop"
+        )
+        return out.reshape(r, n)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ContractedFeatures:
+    """Generic contracted Φ: binds the modulator to a Features layout whose
+    products cannot pre-fold it (ELL / log / dense). Same duck-typed surface
+    as ContractedStencil so solver carries are layout-agnostic."""
+
+    feats: Features
+    f: jnp.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return self.feats.num_nodes
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.feats.num_target_nodes
+
+    def matvec_bm(self, v):
+        return self.feats.matvec_bm(self.f, v)
+
+    def rmatvec_bm(self, v):
+        return self.feats.rmatvec_bm(self.f, v)
+
+    def rows(self, idx):
+        return self.feats.rows(self.f, idx)
+
+
+def contract(feats: Features, f: jnp.ndarray):
+    """Fold the modulator into the feature operator (see ContractedStencil).
+
+    StencilFeatures → ContractedStencil (w precomputed, the big win);
+    everything else → ContractedFeatures (a thin binding, zero cost).
+    """
+    if isinstance(feats, StencilFeatures):
+        w = jnp.einsum(
+            "l,lsn->sn", jnp.asarray(f, jnp.float32), feats.mats.vals
+        )
+        return ContractedStencil(w=w, offsets=feats.mats.offsets)
+    return ContractedFeatures(feats=feats, f=jnp.asarray(f, jnp.float32))
+
+
 def ell_to_dense(mats: EllStepMatrices) -> jnp.ndarray:
     """(L, N, Nt) dense reconstruction, for tests/small N."""
     l, n, r = mats.cols.shape

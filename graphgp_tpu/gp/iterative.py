@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..features import Features
+from ..features import Features, contract
 from ..linalg import batched_cg, cg_solve, rademacher_probes, slq_logdet
 from . import params as P
 
@@ -123,7 +123,72 @@ def make_ktt_matvec_bm_masked(kind: str):
     return matvec
 
 
-@partial(jax.jit, static_argnames=("kind", "settings"))
+def make_gram_matvec_bm():
+    """Batch-major ``(K_tt + σ²I) V`` over a PRE-CONTRACTED Φ operator.
+
+    carry = (phi, noise_var, train_idx) with phi from features.contract —
+    the modulator fold (an 820 MB stencil read at the N=1e6 flagship) happens
+    once outside the CG/Lanczos loop instead of twice per iteration.
+    Gradients flow through the carry (phi.w / phi.f are traced values).
+    """
+
+    def matvec(carry, v):
+        if v.ndim == 1:
+            return matvec(carry, v[None, :])[0]
+        phi, noise_var, train_idx = carry
+        u = phi.rmatvec_bm(_expand_bm(v, train_idx, phi.num_nodes))
+        kv = phi.matvec_bm(u)[:, train_idx]
+        return kv + noise_var * v
+
+    return matvec
+
+
+def make_gram_matvec_bm_masked():
+    """Masked padded-capacity variant (see make_ktt_matvec_bm_masked) over a
+    pre-contracted Φ. carry = (phi, noise_var, train_idx, mask)."""
+
+    def matvec(carry, v):
+        if v.ndim == 1:
+            return matvec(carry, v[None, :])[0]
+        phi, noise_var, train_idx, mask = carry
+        vm = v * mask[None, :]
+        expanded = jnp.zeros((v.shape[0], phi.num_nodes), v.dtype).at[
+            :, train_idx
+        ].add(vm)
+        kv = phi.matvec_bm(phi.rmatvec_bm(expanded))[:, train_idx] * mask[None, :]
+        return kv + noise_var * vm + (v - vm)
+
+    return matvec
+
+
+def make_gram_matvec_bm_full():
+    """FULL-node-space masked Gram matvec: zero gathers/scatters per
+    iteration. carry = (phi, noise_var, node_mask) with node_mask a 0/1
+    f32 (N,) marking train nodes.
+
+    The operator is ``Ã = M K M + σ² M + (I − M)`` with M = diag(mask) —
+    block-diagonal, so CG/Lanczos started from vectors supported on the
+    train block stay there and solve the real (K_tt + σ²I) system exactly,
+    while padded dims are inert identity (log 1 = 0 in SLQ).
+
+    Why: the compact train-space operator pays a (B, n_train)→(B, N)
+    scatter and an (N)→(n_train) gather per iteration; at n_train = 500k
+    those dominate a stencil matvec that is otherwise pure rolls. Full-space
+    state makes every loop op rolls + elementwise.
+    """
+
+    def matvec(carry, v):
+        if v.ndim == 1:
+            return matvec(carry, v[None, :])[0]
+        phi, noise_var, node_mask = carry
+        vm = v * node_mask[None, :]
+        kv = phi.matvec_bm(phi.rmatvec_bm(vm)) * node_mask[None, :]
+        return kv + noise_var * vm + (v - vm)
+
+    return matvec
+
+
+@partial(jax.jit, static_argnames=("kind", "settings", "full_space"))
 def mll_cg(
     feats: Features,
     params: Dict,
@@ -134,6 +199,7 @@ def mll_cg(
     settings: CGSettings = CGSettings(),
     mask: Optional[jnp.ndarray] = None,
     num_real: Optional[jnp.ndarray] = None,
+    full_space: bool = False,
 ) -> jnp.ndarray:
     """Stochastic estimate of the log marginal likelihood for big N.
 
@@ -146,25 +212,55 @@ def mll_cg(
     Everything runs batch-major (B, N): probes are (P, n) rows and the
     single-vector quad solve rides a (1, n) row, keeping the long node axis
     on the TPU's 128 lanes (see features *_bm docs for the 16× rationale).
+    The modulator is contracted into the Φ operator ONCE (features.contract)
+    so the loop bodies never re-fold it.
 
     ``mask``/``num_real`` enable padded fixed-capacity observation buffers
     (see make_ktt_matvec_bm_masked): padded entries of y must be 0, and
     ``num_real`` (a traced f32 scalar) replaces the static n in the 2π term.
+
+    ``full_space=True`` runs the solves in the full node space through the
+    block-diagonal masked operator (make_gram_matvec_bm_full): zero
+    gathers/scatters per CG/Lanczos iteration — the fast path when n_train
+    is a sizable fraction of N (the scaling protocol trains on N/2).
+    Requires distinct train node ids (duplicate observations of one node
+    would merge; keep the compact path for those).
     """
     n = y.shape[0]
-    if mask is None:
-        matvec = make_ktt_matvec_bm(kind)
-        carry = (params, jax.lax.stop_gradient(feats), train_idx)
-        n_term = jnp.float32(n)
-    else:
-        matvec = make_ktt_matvec_bm_masked(kind)
-        carry = (params, jax.lax.stop_gradient(feats), train_idx, mask)
-        n_term = jnp.asarray(num_real, jnp.float32)
-    alpha = cg_solve(
-        matvec, carry, y, settings.cg_tol, settings.cg_max_iters, 0
+    f = P.modulator(kind, params, feats.max_walk_length)
+    phi = contract(jax.lax.stop_gradient(feats), f)
+    noise_var = P.noise_variance(params)
+    n_term = (
+        jnp.float32(n) if mask is None else jnp.asarray(num_real, jnp.float32)
     )
-    quad = y @ alpha
-    probes = rademacher_probes(key, n, settings.num_probes).T  # (P, n)
+    if full_space:
+        nn = feats.num_nodes
+        ym = y if mask is None else y * mask
+        live = mask if mask is not None else jnp.ones((n,), jnp.float32)
+        node_mask = jnp.minimum(
+            jnp.zeros((nn,), jnp.float32).at[train_idx].add(live), 1.0
+        )
+        y_solve = jnp.zeros((nn,), jnp.float32).at[train_idx].add(ym)
+        matvec = make_gram_matvec_bm_full()
+        carry = (phi, noise_var, node_mask)
+        probes = (
+            rademacher_probes(key, nn, settings.num_probes).T
+            * node_mask[None, :]
+        )
+    elif mask is None:
+        matvec = make_gram_matvec_bm()
+        carry = (phi, noise_var, train_idx)
+        y_solve = y
+        probes = rademacher_probes(key, n, settings.num_probes).T  # (P, n)
+    else:
+        matvec = make_gram_matvec_bm_masked()
+        carry = (phi, noise_var, train_idx, mask)
+        y_solve = y
+        probes = rademacher_probes(key, n, settings.num_probes).T
+    alpha = cg_solve(
+        matvec, carry, y_solve, settings.cg_tol, settings.cg_max_iters, 0
+    )
+    quad = y_solve @ alpha
     logdet = slq_logdet(
         matvec,
         carry,
@@ -177,7 +273,9 @@ def mll_cg(
     return -0.5 * (quad + logdet + n_term * _LOG2PI)
 
 
-@partial(jax.jit, static_argnames=("kind", "num_samples", "settings"))
+@partial(
+    jax.jit, static_argnames=("kind", "num_samples", "settings", "full_space")
+)
 def pathwise_predict(
     feats: Features,
     params: Dict,
@@ -189,6 +287,7 @@ def pathwise_predict(
     num_samples: int = 64,
     settings: CGSettings = CGSettings(),
     mask: Optional[jnp.ndarray] = None,
+    full_space: bool = False,
 ) -> jnp.ndarray:
     """Matheron-rule posterior samples at test nodes → (num_samples, n_test).
 
@@ -198,9 +297,15 @@ def pathwise_predict(
     all sample paths at once. Runs batch-major (S, N) throughout (see
     features *_bm docs); the ε draws are transposed from the historical
     (N, S) shapes so the sample paths are the same draws as the column-major
-    path (results agree up to float reassociation).
+    path (results agree up to float reassociation). The modulator is folded
+    into the Φ operator once (features.contract), outside the CG loop.
+
+    ``full_space=True``: the residual solve rides the full-node-space masked
+    operator (zero per-iteration gathers/scatters; see
+    make_gram_matvec_bm_full). Requires distinct train node ids.
     """
     f = P.modulator(kind, params, feats.max_walk_length)
+    phi = contract(feats, f)
     n = feats.num_nodes
     nt = feats.num_target_nodes
     noise_var = P.noise_variance(params)
@@ -208,7 +313,7 @@ def pathwise_predict(
     k1, k2 = jax.random.split(key)
 
     eps1 = jax.random.normal(k1, (nt, num_samples), dtype=jnp.float32).T
-    prior_all = feats.matvec_bm(f, eps1)  # (S, N) — prior sample paths Φ ε₁
+    prior_all = phi.matvec_bm(eps1)  # (S, N) — prior sample paths Φ ε₁
     f_train_prior = prior_all[:, train_idx]  # (S, n)
     f_test_prior = prior_all[:, test_idx]  # (S, n_te)
     eps2 = noise_std * jax.random.normal(
@@ -216,31 +321,45 @@ def pathwise_predict(
     ).T
 
     b = y[None, :] - (f_train_prior + eps2)  # (S, n)
-    if mask is None:
-        matvec = make_ktt_matvec_bm(kind)
-        carry = (params, feats, train_idx)
-    else:
+    if mask is not None:
         # Padded fixed-capacity observations (see make_ktt_matvec_bm_masked):
         # padded residuals are zeroed, so their CG solution components stay 0
         # and the correction only sums real observations.
         b = b * mask[None, :]
-        matvec = make_ktt_matvec_bm_masked(kind)
-        carry = (params, feats, train_idx, mask)
+    if full_space:
+        live = mask if mask is not None else jnp.ones(
+            (train_idx.shape[0],), jnp.float32
+        )
+        node_mask = jnp.minimum(
+            jnp.zeros((n,), jnp.float32).at[train_idx].add(live), 1.0
+        )
+        b_solve = jnp.zeros((b.shape[0], n), b.dtype).at[:, train_idx].add(b)
+        matvec = make_gram_matvec_bm_full()
+        carry = (phi, noise_var, node_mask)
+    elif mask is None:
+        matvec = make_gram_matvec_bm()
+        carry = (phi, noise_var, train_idx)
+        b_solve = b
+    else:
+        matvec = make_gram_matvec_bm_masked()
+        carry = (phi, noise_var, train_idx, mask)
+        b_solve = b
     v = batched_cg(
         matvec,
         carry,
-        b,
+        b_solve,
         tol=settings.cg_tol,
         max_iters=settings.cg_max_iters,
         batch_axis=0,
-    ).x  # (S, n)
+    ).x  # (S, n) — or (S, N) already expanded in full space
 
     # K_test,train v = Φ_te Φ_trᵀ v, assembled from full-graph products.
     # (.add expansion: padded train slots duplicate node 0 with value 0.)
-    u = feats.rmatvec_bm(
-        f, jnp.zeros((v.shape[0], n), v.dtype).at[:, train_idx].add(v)
-    )  # (S, Nt)
-    correction = feats.matvec_bm(f, u)[:, test_idx]  # (S, n_te)
+    if full_space:
+        v_full = v
+    else:
+        v_full = jnp.zeros((v.shape[0], n), v.dtype).at[:, train_idx].add(v)
+    correction = phi.matvec_bm(phi.rmatvec_bm(v_full))[:, test_idx]
     return f_test_prior + correction
 
 
@@ -265,7 +384,9 @@ class FitResult:
 
 @partial(
     jax.jit,
-    static_argnames=("kind", "settings", "num_steps", "learning_rate"),
+    static_argnames=(
+        "kind", "settings", "num_steps", "learning_rate", "full_space"
+    ),
 )
 def _fit_run(
     feats,
@@ -279,6 +400,7 @@ def _fit_run(
     settings: CGSettings,
     num_steps: int,
     learning_rate: float,
+    full_space: bool = False,
 ):
     """Module-level jitted Adam loop. A per-call ``@jax.jit`` closure (the
     previous shape of this code) defeats jax's compilation cache — every
@@ -293,6 +415,7 @@ def _fit_run(
             lambda q: -mll_cg(
                 feats, q, train_idx, y, step_key, kind=kind,
                 settings=settings, mask=mask, num_real=num_real,
+                full_space=full_space,
             )
         )(p)
         updates, state = opt.update(grads, state, p)
@@ -317,12 +440,22 @@ def fit(
     settings: CGSettings = CGSettings(),
     mask: Optional[jnp.ndarray] = None,
     num_real: Optional[jnp.ndarray] = None,
+    full_space: Optional[bool] = None,
 ) -> FitResult:
     """Adam ascent of the CG marginal likelihood (reference protocol: Adam
     lr=0.1, 50 epochs — run_scaling_experiment.py:606-611).
 
     ``mask``/``num_real`` support padded fixed-capacity observation buffers
     (single compile across a growing BO run; see make_ktt_matvec_bm_masked).
+
+    ``full_space`` selects the full-node-space masked solver (no per-
+    iteration gathers/scatters; see make_gram_matvec_bm_full). Default
+    (None): auto — on when the train set is ≥ an eighth of the graph, where
+    the scatter/gather tax dominates; off for sparse observation sets (BO)
+    whose compact state is far smaller, and off when duplicate train ids
+    may occur (mask is not None means a BO-style padded buffer, which pads
+    with duplicated node 0 — those are masked, so full space stays exact,
+    but real duplicates from revisits are possible: stay compact).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -331,8 +464,12 @@ def fit(
         init = P.init_params(kind, feats.max_walk_length, k_init)
     if mask is not None and num_real is None:
         num_real = jnp.sum(mask)
+    if full_space is None:
+        full_space = (
+            mask is None and train_idx.shape[0] * 8 >= feats.num_nodes
+        )
     trained, losses = _fit_run(
         feats, train_idx, y, mask, num_real, k_loop, init,
-        kind, settings, num_steps, learning_rate,
+        kind, settings, num_steps, learning_rate, full_space,
     )
     return FitResult(params=trained, losses=losses)

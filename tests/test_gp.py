@@ -137,6 +137,86 @@ def test_pathwise_predict_matches_exact_posterior(problem):
     np.testing.assert_allclose(np.asarray(summ.var), np.asarray(post.var), atol=0.3)
 
 
+def test_full_space_solver_matches_compact(problem):
+    """The full-node-space masked Gram operator (zero per-iteration
+    gathers/scatters; gp/iterative.make_gram_matvec_bm_full) must agree with
+    the compact train-space path: pathwise samples bitwise-near (same draws,
+    exact CG), MLL within SLQ probe noise, and both within a tight band of
+    the exact Cholesky MLL."""
+    p = problem
+    y_tr = p["y_all"][p["train_idx"]]
+    params = P.init_params(
+        "diffusion", p["feats"].max_walk_length, jax.random.PRNGKey(0), noise=0.3
+    )
+    st = CGSettings(cg_tol=1e-8, cg_max_iters=400, num_probes=64,
+                    num_lanczos_iters=25)
+    s_c = iterative.pathwise_predict(
+        p["feats"], params, p["train_idx"], y_tr, p["test_idx"],
+        jax.random.PRNGKey(3), kind="diffusion", num_samples=32, settings=st,
+    )
+    s_f = iterative.pathwise_predict(
+        p["feats"], params, p["train_idx"], y_tr, p["test_idx"],
+        jax.random.PRNGKey(3), kind="diffusion", num_samples=32, settings=st,
+        full_space=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_f), atol=1e-4)
+
+    exact_val = float(
+        exact.mll(p["feats"], params, p["train_idx"], y_tr, kind="diffusion")
+    )
+    m_f = float(np.mean([
+        float(iterative.mll_cg(
+            p["feats"], params, p["train_idx"], y_tr, jax.random.PRNGKey(s),
+            kind="diffusion", settings=st, full_space=True,
+        )) for s in range(3)
+    ]))
+    assert abs(m_f - exact_val) / abs(exact_val) < 0.05
+
+    # gradients flow through the contracted carry back to the params
+    g_c = jax.grad(lambda q: iterative.mll_cg(
+        p["feats"], q, p["train_idx"], y_tr, jax.random.PRNGKey(7),
+        kind="diffusion", settings=st))(params)
+    g_f = jax.grad(lambda q: iterative.mll_cg(
+        p["feats"], q, p["train_idx"], y_tr, jax.random.PRNGKey(7),
+        kind="diffusion", settings=st, full_space=True))(params)
+    for k in g_c:
+        np.testing.assert_allclose(
+            np.asarray(g_f[k]), np.asarray(g_c[k]), rtol=0.2, atol=0.3
+        )
+
+
+def test_full_space_masked_padded_buffer(problem):
+    """full_space with a padded fixed-capacity observation buffer (masked
+    slots duplicate node 0 with y=0) must match the compact masked path."""
+    p = problem
+    y_tr = p["y_all"][p["train_idx"]]
+    n_real = y_tr.shape[0]
+    cap = n_real + 6
+    tr_pad = jnp.concatenate(
+        [p["train_idx"], jnp.zeros((cap - n_real,), jnp.int32)]
+    )
+    y_pad = jnp.concatenate([y_tr, jnp.zeros((cap - n_real,), jnp.float32)])
+    mask = jnp.concatenate(
+        [jnp.ones((n_real,), jnp.float32), jnp.zeros((cap - n_real,), jnp.float32)]
+    )
+    params = P.init_params(
+        "diffusion", p["feats"].max_walk_length, jax.random.PRNGKey(0), noise=0.3
+    )
+    st = CGSettings(cg_tol=1e-8, cg_max_iters=400, num_probes=64,
+                    num_lanczos_iters=25)
+    s_c = iterative.pathwise_predict(
+        p["feats"], params, tr_pad, y_pad, p["test_idx"],
+        jax.random.PRNGKey(3), kind="diffusion", num_samples=32, settings=st,
+        mask=mask,
+    )
+    s_f = iterative.pathwise_predict(
+        p["feats"], params, tr_pad, y_pad, p["test_idx"],
+        jax.random.PRNGKey(3), kind="diffusion", num_samples=32, settings=st,
+        mask=mask, full_space=True,
+    )
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_f), atol=1e-4)
+
+
 def test_iterative_fit_on_ell_features(problem):
     """Train the CG path on consolidated ELL features (the large-N layout)."""
     p = problem

@@ -12,6 +12,9 @@ def test_generators_shapes():
     for name in synthetic.GENERATORS:
         n = 256 if name not in ("ring", "circle") else 100
         d = synthetic.generate(name, n, seed=0)
+        if name == "pems_like":
+            # node count is determined by the highway construction, not n
+            n = d["adjacency"].shape[0]
         assert d["adjacency"].shape == (n, n)
         assert d["y_true"].shape == (n,)
         assert d["y_observed"].shape == (n,)
@@ -19,6 +22,30 @@ def test_generators_shapes():
         diff = (d["adjacency"] - d["adjacency"].T).toarray()
         assert np.abs(diff).max() == 0
         assert d["adjacency"].diagonal().max() == 0
+
+
+def test_pems_like_statistics():
+    """The highway stand-in must honor the reference's conventions
+    (traffic_utils/preprocessing.py:83-182): mean_length/length weights
+    (mean of 1/weight == 1 after rescale), sensors as degree-2 splices,
+    corridor-dominated degree profile."""
+    d = synthetic.generate("pems_like", 0, seed=0)
+    adj = d["adjacency"]
+    n = adj.shape[0]
+    sensors = d["sensor_nodes"]
+    assert len(sensors) == 325
+    assert sensors.max() < n
+    deg = np.asarray((adj > 0).sum(axis=1)).ravel()
+    # sensors are spliced into an edge: exactly 2 road neighbors
+    assert (deg[sensors] == 2).all()
+    # highway profile: most nodes are corridor (degree 2), few junctions
+    assert np.median(deg) == 2
+    assert deg.max() <= 12
+    # weight convention: w = mean(len)/len, so mean over edges of 1/w == 1
+    upper = adj.tocoo()
+    m = upper.row < upper.col
+    inv = 1.0 / upper.data[m]
+    assert abs(inv.mean() - 1.0) < 1e-6
 
 
 def test_generator_bad_inputs():
