@@ -133,6 +133,9 @@ def run_gp_phase(sizes, cfg_args, records, exact_mode=False):
                 feats, res.params, tr, y[tr], te, jax.random.PRNGKey(0),
                 kind="free", num_samples=cfg_args.num_pathwise_samples,
                 settings=settings,
+                # dense train sets ride the scatter-free full-space solver
+                # (same auto rule as iterative.fit)
+                full_space=bool(tr.shape[0] * 8 >= n),
             )
             mean = iterative.summarize_samples(samples).mean
         float(jnp.sum(mean))

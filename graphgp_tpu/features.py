@@ -976,16 +976,42 @@ Features = Any  # DenseFeatures | EllFeatures | LogFeatures | StencilFeatures
 # ---------------------------------------------------------------------------
 
 
+# Node count above which the stencil products dispatch to the Pallas
+# windowed kernels on TPU (below it the roll chain's HBM traffic fits cache
+# behavior fine and Pallas only adds compile latency).
+_STENCIL_PALLAS_MIN_NODES = 1 << 17
+
+
+def _stencil_use_pallas(num_nodes: int, num_offsets: int, offsets) -> bool:
+    if num_nodes < _STENCIL_PALLAS_MIN_NODES:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas_kernels import stencil as _ps
+
+    return _ps.pallas_applicable(num_nodes, num_offsets, offsets)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ContractedStencil:
     """``Φ = Σ_s diag(w_s) · shift(off_s)`` with the modulator pre-folded.
 
     w: f32[S, N] — w[s, i] = Σ_l f_l · stencil.vals[l, s, i].
+
+    Products dispatch to the Pallas windowed kernels
+    (pallas_kernels/stencil.py) on TPU at large N — one HBM pass per product
+    instead of the roll chain's S read-modify-write sweeps; the XLA roll
+    chain remains the portable fallback (and the CPU test path).
     """
 
     w: jnp.ndarray
     offsets: np.ndarray = dataclasses.field(metadata=dict(static=True))
+    # Pre-shifted weight table for the Pallas transpose path:
+    # w_shift[s] = roll(w[s], off_s), built once by contract() when the
+    # Pallas dispatch applies (rmatvec ≡ matvec under this table with
+    # negated offsets — pallas_kernels/stencil.py).
+    w_shift: Optional[jnp.ndarray] = None
 
     @property
     def num_nodes(self) -> int:
@@ -997,6 +1023,10 @@ class ContractedStencil:
 
     def matvec_bm(self, v: jnp.ndarray) -> jnp.ndarray:
         """``V @ Φᵀ``: Σ_s w_s ⊙ roll(v, -off_s, axis=-1). v: (B, N)."""
+        if _stencil_use_pallas(self.num_nodes, self.w.shape[0], self.offsets):
+            from .pallas_kernels import stencil as _ps
+
+            return _ps.matvec_bm(self.w, v, self.offsets)
         out = jnp.zeros_like(v, dtype=jnp.float32)
         for si, off in enumerate(self.offsets.tolist()):
             out = out + self.w[si][None, :] * jnp.roll(v, -off, axis=-1)
@@ -1004,6 +1034,12 @@ class ContractedStencil:
 
     def rmatvec_bm(self, v: jnp.ndarray) -> jnp.ndarray:
         """``V @ Φ``: Σ_s roll(w_s ⊙ v, +off_s, axis=-1). v: (B, N)."""
+        if self.w_shift is not None and _stencil_use_pallas(
+            self.num_nodes, self.w.shape[0], self.offsets
+        ):
+            from .pallas_kernels import stencil as _ps
+
+            return _ps.rmatvec_bm(self.w_shift, v, self.offsets)
         out = jnp.zeros_like(v, dtype=jnp.float32)
         for si, off in enumerate(self.offsets.tolist()):
             out = out + jnp.roll(self.w[si][None, :] * v, off, axis=-1)
@@ -1065,7 +1101,13 @@ def contract(feats: Features, f: jnp.ndarray):
         w = jnp.einsum(
             "l,lsn->sn", jnp.asarray(f, jnp.float32), feats.mats.vals
         )
-        return ContractedStencil(w=w, offsets=feats.mats.offsets)
+        offsets = feats.mats.offsets
+        w_shift = None
+        if _stencil_use_pallas(w.shape[1], w.shape[0], offsets):
+            from .pallas_kernels import stencil as _ps
+
+            w_shift = _ps.shifted_weights(w, _ps.center_offsets(offsets, w.shape[1]))
+        return ContractedStencil(w=w, offsets=offsets, w_shift=w_shift)
     return ContractedFeatures(feats=feats, f=jnp.asarray(f, jnp.float32))
 
 
