@@ -84,10 +84,21 @@ def main(argv=None):
                     walks_per_node=wpn, p_halt=args.p_halt,
                     max_walk_length=args.max_walk_length, ablation=ablation,
                 )
+                # Protocol parity (reference gp_inference, ablation_study.py:
+                # 59-81): L-BFGS to convergence, noise variance initialized at
+                # the true value with a weak LogNormal prior around it.
+                from ..gp import params as P
+
+                init = P.init_params(
+                    "free", args.max_walk_length, jax.random.PRNGKey(seed),
+                    noise=args.noise_std,
+                )
                 res = exact.fit(
-                    feats, tr, y[tr], kind="free",
-                    key=jax.random.PRNGKey(seed),
-                    num_steps=args.train_steps, learning_rate=0.05,
+                    feats, tr, y[tr], kind="free", init=init,
+                    num_steps=args.train_steps, optimizer="lbfgs",
+                    noise_prior_lognormal=(
+                        float(np.log(args.noise_std**2)), 0.5
+                    ),
                 )
                 post = exact.predict(feats, res.params, tr, y[tr], te, kind="free")
                 rec = {

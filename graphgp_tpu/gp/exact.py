@@ -95,19 +95,35 @@ def fit(
     learning_rate: float = 0.05,
     num_steps: int = 300,
     optimizer: str = "adam",
+    noise_prior_lognormal: Optional[Tuple[float, float]] = None,
 ) -> FitResult:
     """Maximize the marginal likelihood over kernel + noise hyperparameters.
 
     optimizer='adam' (reference sparse stack: Adam lr=0.1 ×50,
     run_scaling_experiment.py:606-611) or 'lbfgs' (reference dense stack:
     gpflow Scipy/L-BFGS, SURVEY §3.5) — both via optax, fully jitted.
+
+    ``noise_prior_lognormal=(loc, scale)`` adds a LogNormal log-density on
+    the noise variance to the objective (MAP), mirroring the reference
+    ablation's weak prior on likelihood variance
+    (ablation_study.py:66-74: LogNormal(log σ_true², 0.5)).
     """
     if init is None:
         if key is None:
             key = jax.random.PRNGKey(42)
         init = P.init_params(kind, feats.max_walk_length, key)
 
-    loss_fn = lambda p: -mll(feats, p, train_idx, y, kind=kind)
+    if noise_prior_lognormal is None:
+        loss_fn = lambda p: -mll(feats, p, train_idx, y, kind=kind)
+    else:
+        loc, scale = noise_prior_lognormal
+
+        def loss_fn(p):
+            nv = P.noise_variance(p)
+            # LogNormal(loc, scale) log-pdf up to an additive constant
+            z = (jnp.log(nv) - loc) / scale
+            log_prior = -0.5 * z * z - jnp.log(nv)
+            return -mll(feats, p, train_idx, y, kind=kind) - log_prior
 
     if optimizer == "lbfgs":
         opt = optax.lbfgs()

@@ -76,6 +76,38 @@ def test_classification_cora_files(tmp_path):
     assert records[0]["accuracy"] > 0.6
 
 
+def test_cora_graphml_fallback(tmp_path):
+    """load_cora falls back to a labeled GraphML export when cora.content is
+    absent (the reference ships cora_result.graphml as its only offline
+    label-carrying Cora artifact)."""
+    from graphgp_tpu.data.database import load_cora
+
+    d = tmp_path / "cora"
+    d.mkdir()
+    ns = "http://graphml.graphdrawing.org/xmlns"
+    nodes = "".join(
+        f'<node id="{i}"><data key="d0">{float(i % 3)}</data></node>'
+        for i in range(12)
+    )
+    edges = "".join(
+        f'<edge source="{i}" target="{(i + 1) % 12}" />' for i in range(12)
+    )
+    (d / "cora_result.graphml").write_text(
+        f'<?xml version="1.0" encoding="utf-8"?>'
+        f'<graphml xmlns="{ns}">'
+        f'<key id="d0" for="node" attr.name="ground_truth" attr.type="float" />'
+        f'<graph edgedefault="undirected">{nodes}{edges}</graph></graphml>'
+    )
+    # also a cites file, which must be IGNORED in favor of the labeled graphml
+    (d / "cora.cites").write_text("0\t1\n")
+    adj, labels, tr, te = load_cora(str(d), seed=0)
+    assert adj.shape == (12, 12)
+    assert adj.nnz == 24  # 12 undirected ring edges
+    assert sorted(set(labels.tolist())) == [0, 1, 2]
+    assert tr.size + te.size == 12
+    assert np.intersect1d(tr, te).size == 0
+
+
 def test_wind_driver_small(tmp_path):
     from graphgp_tpu.cli.wind import build_sphere_grid_graph, main, orbit_track_nodes
 
