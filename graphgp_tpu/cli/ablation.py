@@ -69,6 +69,31 @@ def main(argv=None):
         te = jnp.asarray(np.sort(perm[n_tr:]), jnp.int32)
         y = jnp.asarray(y_all)
 
+        # Exact-diffusion GP floor: the quality both estimators approach as
+        # wpn → ∞ (trainable β/σ_f over the eigenbasis, gp/spectral.py) —
+        # context row the reference's figure carries as its horizontal line.
+        from ..gp import spectral
+
+        eig = spectral.eigenbasis(adj)
+        sres = spectral.fit(eig, tr, y[tr], num_steps=args.train_steps)
+        spost = spectral.predict(eig, sres.params, tr, y[tr], te)
+        from ..gp import params as PP
+
+        svar = spost.var + PP.noise_variance(sres.params)
+        records.append({
+            "seed": seed, "walks_per_node": 0, "mode": "exact_diffusion",
+            "rmse": float(jnp.sqrt(jnp.mean((spost.mean - jnp.asarray(f_true)[te]) ** 2))),
+            "nlpd": float(jnp.mean(0.5 * (
+                jnp.log(2 * jnp.pi * svar)
+                + (y[te] - spost.mean) ** 2 / svar
+            ))),
+            "final_loss": float(sres.losses[-1]),
+        })
+        print(
+            f"seed={seed} exact_diffusion: rmse={records[-1]['rmse']:.4f} "
+            f"nlpd={records[-1]['nlpd']:.4f}"
+        )
+
         for wpn in args.walks:
             for ablation in (False, True):
                 cfg = WalkConfig(

@@ -126,9 +126,11 @@ def main(argv=None):
 
         # PoFM arms: same GP stack over exact power features
         for kind in ("diffusion", "free"):
+            # L-BFGS mirrors the reference dense stack's Scipy optimizer
+            # (traffic nb cell 4; SURVEY §3.5)
             pres = exact.fit(
                 pofm, tr, y_all[tr], kind=kind, key=jax.random.PRNGKey(seed),
-                num_steps=args.train_steps, learning_rate=0.05,
+                num_steps=args.train_steps, optimizer="lbfgs",
             )
             ppost = exact.predict(pofm, pres.params, tr, y_all[tr], te, kind=kind)
             rec = {
@@ -174,7 +176,7 @@ def main(argv=None):
                 res = exact.fit(
                     feats, tr, y_all[tr], kind=kind,
                     key=jax.random.PRNGKey(seed),
-                    num_steps=args.train_steps, learning_rate=0.05,
+                    num_steps=args.train_steps, optimizer="lbfgs",
                 )
                 post = exact.predict(
                     feats, res.params, tr, y_all[tr], te, kind=kind

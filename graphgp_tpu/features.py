@@ -793,11 +793,17 @@ def _vocab_chunk(cols_c, vals_c, row0, max_offsets: int):
 
 
 def offset_vocabulary(
-    mats: EllStepMatrices, max_offsets: int = 256, chunk_rows: int = 1 << 16
+    mats: EllStepMatrices, max_offsets: int = 256, chunk_rows: int = 0
 ) -> Optional[np.ndarray]:
     """The sorted set of live ``col - row`` differences, or None if it
-    exceeds ``max_offsets`` (unstructured graph → keep ELL)."""
+    exceeds ``max_offsets`` (unstructured graph → keep ELL).
+
+    ``chunk_rows=0`` (default) sizes chunks so the whole scan is ~one device
+    dispatch (≤1.5 GB of diffs per sort): the flagship N=1e6 scan ran 47 s
+    as sixteen 64k-row dispatches and ~3 s as one."""
     l, n, r = mats.cols.shape
+    if chunk_rows <= 0:
+        chunk_rows = max((1536 << 20) // (l * r * 4), 1 << 16)
     sentinel = int(np.int32(2**31 - 1))
     vocab = np.zeros((0,), np.int64)
     for lo in range(0, n, chunk_rows):
@@ -842,7 +848,7 @@ def _stencil_chunk(cols_c, vals_c, row0, off_dev, num_offsets: int):
 def ell_to_stencil(
     mats: EllStepMatrices,
     max_offsets: int = 256,
-    chunk_rows: int = 1 << 16,
+    chunk_rows: int = 0,
 ) -> Optional[StencilStepMatrices]:
     """Convert ELL step matrices to stencil form, or None if the offset
     vocabulary is too large. One-time cost; cache the result.
@@ -858,6 +864,15 @@ def ell_to_stencil(
         return None
     l, n, r = mats.cols.shape
     s = offsets.shape[0]
+    if jax.default_backend() == "tpu" and n >= _STENCIL_PALLAS_MIN_NODES:
+        # Pallas slot accumulation: no one-hot transient through HBM
+        # (the XLA chunk path below moves ~23 GB at the flagship shape)
+        from .pallas_kernels.stencil_build import ell_to_stencil_pallas
+
+        out = ell_to_stencil_pallas(
+            mats.cols, mats.vals, tuple(int(o) for o in offsets)
+        )
+        return StencilStepMatrices(vals=out, offsets=offsets)
     off_dev = jnp.asarray(offsets)
     # bound the (L, C, R, S) one-hot transient to ~256 MB
     c_max = max((256 << 20) // (l * r * s * 4), 256)

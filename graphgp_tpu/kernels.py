@@ -57,10 +57,14 @@ def step_matrices_for_adjacency(
         graph = pack_laplacian(adj)
 
     if method == "auto":
+        from .graphs import PackedGraph
         from .pallas_kernels.walker import PALLAS_MAX_NODES
 
         use_pallas = (
             jax.default_backend() == "tpu"
+            # skewed-degree graphs pack as CsrGraph; the fused kernel's
+            # VMEM neighbor table needs the fixed-width ELL layout
+            and isinstance(graph, PackedGraph)
             and graph.num_nodes <= PALLAS_MAX_NODES
             and _largest_pow2_divisor(walks_per_node) >= 32
         )

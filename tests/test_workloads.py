@@ -190,9 +190,11 @@ def test_cli_ablation_small(tmp_path):
         "--train-steps", "20",
         "--results-dir", str(tmp_path / "res"),
     ])
-    assert len(records) == 2  # principled + ablation
+    assert len(records) == 3  # exact-diffusion floor + principled + ablation
     modes = {r["mode"] for r in records}
-    assert modes == {"principled", "ablation"}
+    assert modes == {"exact_diffusion", "principled", "ablation"}
+    for r in records:
+        assert np.isfinite(r["rmse"]) and np.isfinite(r["nlpd"])
 
 
 def test_checkpoint_roundtrip(tmp_path):
