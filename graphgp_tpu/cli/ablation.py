@@ -25,13 +25,16 @@ def main(argv=None):
     add_config_flag(p)
     p.add_argument("--mesh-side", type=int, default=30)
     p.add_argument("--beta", type=float, default=10.0)
+    p.add_argument("--amplitude", type=float, default=10.0,
+                   help="true-kernel amplitude: K_true = amplitude * expm(-beta L) "
+                        "(reference generate_dataset, ablation_study.py:102)")
     p.add_argument("--noise-std", type=float, default=0.5)
     p.add_argument("--walks", type=int, nargs="+", default=[1, 10, 100, 1000])
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--p-halt", type=float, default=0.01)
     p.add_argument("--max-walk-length", type=int, default=10)
-    p.add_argument("--train-steps", type=int, default=200)
-    p.add_argument("--train-frac", type=float, default=0.5)
+    p.add_argument("--train-steps", type=int, default=1000)
+    p.add_argument("--train-frac", type=float, default=0.3)
     p.add_argument("--results-dir", default="artifacts/results")
     args, _cfg = parse_with_config(p, argv)
 
@@ -55,10 +58,14 @@ def main(argv=None):
     dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0)), 0.0)
     lap = np.eye(n) - adj * dinv[:, None] * dinv[None, :]
     evals, evecs = np.linalg.eigh(lap)
-    k_true = (evecs * np.exp(-args.beta * evals)) @ evecs.T
+    # K_true = amplitude · exp(−βL) — the reference samples from
+    # 10 * diffusion_kernel(A, 10) (ablation_study.py:102); without the ×10
+    # the latent std (~0.12) sits far below the 0.5 observation noise and
+    # the estimator comparison degenerates into noise fitting.
+    k_true = args.amplitude * ((evecs * np.exp(-args.beta * evals)) @ evecs.T)
     records: List[Dict] = []
 
-    for seed in range(args.seeds):
+    for seed in [100 + i for i in range(args.seeds)]:
         rng = np.random.default_rng(seed)
         chol = np.linalg.cholesky(k_true + 1e-6 * np.eye(n))
         f_true = chol @ rng.normal(size=n)
@@ -79,14 +86,21 @@ def main(argv=None):
         spost = spectral.predict(eig, sres.params, tr, y[tr], te)
         from ..gp import params as PP
 
+        # Observation-space metrics against the NOISY test targets, matching
+        # the reference's eval_model (ablation_study.py:124-140: predict_y
+        # vs Y_noisy[test_idx]); latent-space RMSE kept as an extra column.
         svar = spost.var + PP.noise_variance(sres.params)
         records.append({
             "seed": seed, "walks_per_node": 0, "mode": "exact_diffusion",
-            "rmse": float(jnp.sqrt(jnp.mean((spost.mean - jnp.asarray(f_true)[te]) ** 2))),
+            "rmse": float(jnp.sqrt(jnp.mean((spost.mean - y[te]) ** 2))),
+            "rmse_latent": float(
+                jnp.sqrt(jnp.mean((spost.mean - jnp.asarray(f_true)[te]) ** 2))
+            ),
             "nlpd": float(jnp.mean(0.5 * (
                 jnp.log(2 * jnp.pi * svar)
                 + (y[te] - spost.mean) ** 2 / svar
             ))),
+            "learned_noise_var": float(PP.noise_variance(sres.params)),
             "final_loss": float(sres.losses[-1]),
         })
         print(
@@ -130,8 +144,10 @@ def main(argv=None):
                     "seed": seed,
                     "walks_per_node": wpn,
                     "mode": "ablation" if ablation else "principled",
-                    "rmse": float(exact.rmse(post, jnp.asarray(f_true)[te])),
+                    "rmse": float(exact.rmse(post, y[te])),
+                    "rmse_latent": float(exact.rmse(post, jnp.asarray(f_true)[te])),
                     "nlpd": float(exact.nlpd(post, res.params, y[te])),
+                    "learned_noise_var": float(P.noise_variance(res.params)),
                     "final_loss": float(res.losses[-1]),
                 }
                 records.append(rec)

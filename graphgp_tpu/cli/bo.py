@@ -27,6 +27,27 @@ def gaussianize(y: np.ndarray) -> np.ndarray:
     return stats.norm.ppf(ranks / (len(y) + 1)).astype(np.float32)
 
 
+def _error_text(e: Exception, max_chars: int = 12000) -> str:
+    """Error-row text that keeps the ACTIONABLE tail. Compiler failures put
+    the real diagnostic (OOM line, allocation table) at the END of a long
+    dump; round 3's first-N capture truncated before it and the facebook
+    failure was undiagnosable from artifacts."""
+    msg = f"{type(e).__name__}: {e}"
+    if len(msg) <= max_chars:
+        return msg
+    head = msg[:2000]
+    tail = msg[-(max_chars - 2000):]
+    return head + "\n...[middle truncated]...\n" + tail
+
+
+def _print_error(prefix: str, e: Exception, lines: int = 15) -> None:
+    body = f"{type(e).__name__}: {e}".splitlines()
+    shown = body[:1] + (["  ..."] if len(body) > lines + 1 else []) + body[-lines:] if len(body) > 1 else body
+    print(f"!! {prefix} failed:")
+    for ln in shown:
+        print(f"   {ln}")
+
+
 def make_algorithm(name, data, feats, args, rng):
     from ..bo import BFS, DFS, GreedySearch, GRFThompson, RandomSearch
     from ..gp import iterative
@@ -138,43 +159,63 @@ def main(argv=None):
                     cache_dir=args.cache_dir, layout="auto",
                 )
         except Exception as e:  # noqa: BLE001 — sweep must survive any cell
-            print(f"!! {graph_type}: data/preprocess failed: {e}")
+            _print_error(f"{graph_type}: data/preprocess", e)
             all_records.append(
-                {"graph_type": graph_type, "error": f"{type(e).__name__}: {e}"}
+                {"graph_type": graph_type, "error": _error_text(e)}
             )
             continue
 
+        from ..features import set_stencil_pallas
+
         for algo_name in args.algorithms:
             for seed in seeds:
-                try:
-                    rng = np.random.default_rng(seed)
-                    algo = make_algorithm(algo_name, data, feats, args, rng)
-                    print(f"== {graph_type} {algo_name} seed={seed} ==")
-                    result = run_optimization(
-                        algo,
-                        objective,
-                        n_iterations=args.iterations,
-                        initial_points=args.initial_points,
-                        batch_size=args.batch_size,
-                        seed=seed,
-                    )
-                    for rec in result.records:
-                        rec.update(
-                            {"algorithm": algo_name, "seed": seed,
-                             "graph_type": graph_type,
-                             "n_nodes": objective.shape[0]}
+                # GP cells retry once with stencil Pallas forced off: a
+                # planner/compiler miss inside the Pallas kernels degrades to
+                # the XLA roll chain instead of killing the sweep cell.
+                attempts = (
+                    [None, False] if algo_name == "grf_thompson" else [None]
+                )
+                for att_i, pallas_mode in enumerate(attempts):
+                    try:
+                        set_stencil_pallas(pallas_mode)
+                        rng = np.random.default_rng(seed)
+                        algo = make_algorithm(algo_name, data, feats, args, rng)
+                        tag = "" if pallas_mode is None else " [pallas off]"
+                        print(f"== {graph_type} {algo_name} seed={seed}{tag} ==")
+                        result = run_optimization(
+                            algo,
+                            objective,
+                            n_iterations=args.iterations,
+                            initial_points=args.initial_points,
+                            batch_size=args.batch_size,
+                            seed=seed,
                         )
-                    all_records.extend(result.records)
-                    print(
-                        f"   final best={result.records[-1]['best_value']:.4f} "
-                        f"regret={result.records[-1]['regret']:.4f}"
-                    )
-                except Exception as e:  # noqa: BLE001
-                    print(f"!! {graph_type}/{algo_name}/seed={seed} failed: {e}")
-                    all_records.append(
-                        {"graph_type": graph_type, "algorithm": algo_name,
-                         "seed": seed, "error": f"{type(e).__name__}: {e}"}
-                    )
+                        for rec in result.records:
+                            rec.update(
+                                {"algorithm": algo_name, "seed": seed,
+                                 "graph_type": graph_type,
+                                 "n_nodes": objective.shape[0]}
+                            )
+                        all_records.extend(result.records)
+                        print(
+                            f"   final best={result.records[-1]['best_value']:.4f} "
+                            f"regret={result.records[-1]['regret']:.4f}"
+                        )
+                        break
+                    except Exception as e:  # noqa: BLE001
+                        _print_error(
+                            f"{graph_type}/{algo_name}/seed={seed}", e
+                        )
+                        if att_i + 1 < len(attempts):
+                            print("   retrying with stencil Pallas disabled "
+                                  "(XLA roll-chain fallback)")
+                            continue
+                        all_records.append(
+                            {"graph_type": graph_type, "algorithm": algo_name,
+                             "seed": seed, "error": _error_text(e)}
+                        )
+                    finally:
+                        set_stencil_pallas(None)
 
     path = save_results(all_records, args.results_dir, "bo", config=vars(args))
     final = [

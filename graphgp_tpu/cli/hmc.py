@@ -80,6 +80,15 @@ def main(argv=None):
         lambda q: exact.mll(feats, q, tr, y[tr], kind=args.kind),
         prior_std=args.prior_std,
     )
+
+    # Polish the mode of the ACTUAL log posterior with L-BFGS before Laplace
+    # whitening (gp/hmc.refine_mode — the round-3 run skipped this and the
+    # stale-mode Hessian collapsed ε to 2e-4, leaving R̂(raw_noise)=50).
+    mode_params, refine_losses = hmc.refine_mode(log_post, fit.params)
+    print(
+        f"mode refine (L-BFGS on log posterior): -logp "
+        f"{float(refine_losses[0]):.4f} -> {float(refine_losses[-1]):.4f}"
+    )
     mesh = None
     n_dev = len(jax.devices())
     mesh_devices = args.mesh_devices or (n_dev if n_dev > 1 else 0)
@@ -93,7 +102,7 @@ def main(argv=None):
     # direction of the (anisotropic) raw-coordinate posterior (gp/hmc.py
     # sample_laplace — raw HMC measured split-R-hat ≈ 23 on raw_noise here).
     res = hmc.sample_laplace(
-        log_post, fit.params, jax.random.PRNGKey(0),
+        log_post, mode_params, jax.random.PRNGKey(0),
         config=hmc.HMCConfig(
             num_warmup=args.num_warmup, num_samples=args.num_samples,
             num_leapfrog=args.num_leapfrog, initial_step_size=0.2,

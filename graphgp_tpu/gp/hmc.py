@@ -120,6 +120,7 @@ def sample(
         q0 = flat0 + 0.01 * jax.random.normal(k_init, (dim,))
 
         half_warmup = max(config.num_warmup // 2, 1)
+        adapt_ok = config.adapt_mass and config.num_warmup >= 20
 
         def hmc_step(state, step_input):
             (q, log_eps, h_bar, log_eps_bar, accepts, it,
@@ -141,7 +142,11 @@ def sample(
 
             # Welford accumulation of posterior mean/variance over the first
             # warmup half; frozen into the inverse mass at half_warmup.
-            if config.adapt_mass:
+            # Gated on adapt_ok (computed per-run): with num_warmup below a
+            # useful minimum the "estimate" would come from ~no samples and
+            # the freeze could even fire during sampling (num_warmup=0 made
+            # half_warmup=1 and rescaled momenta mid-run) — keep unit mass.
+            if adapt_ok:
                 in_window = is_warmup & (it < half_warmup)
                 cnt = jnp.minimum(it, half_warmup) + 1.0
                 delta = q - w_mean
@@ -149,7 +154,7 @@ def sample(
                 w_m2_new = w_m2 + delta * (q - w_mean_new)
                 w_mean = jnp.where(in_window, w_mean_new, w_mean)
                 w_m2 = jnp.where(in_window, w_m2_new, w_m2)
-                at_switch = it == half_warmup - 1
+                at_switch = is_warmup & (it == half_warmup - 1)
                 est_var = w_m2 / jnp.maximum(cnt - 1.0, 1.0)
                 # regularize toward unit (Stan's shrinkage) and floor
                 est_var = 0.9 * est_var + 0.1
@@ -215,6 +220,39 @@ def sample(
     return HMCResult(samples=samples, accept_rate=acc, step_size=eps, log_probs=lps)
 
 
+def refine_mode(
+    log_prob_fn: LogProbFn,
+    init_params: Dict,
+    num_steps: int = 100,
+) -> Tuple[Dict, jnp.ndarray]:
+    """L-BFGS ascent of ``log_prob_fn`` from ``init_params`` → (mode, -logp
+    trace). Polish the mode before :func:`sample_laplace`: an Adam ML-II
+    point can sit off the posterior mode along near-flat directions, and the
+    Hessian there mis-scales the whitening (measured: ε collapsed to 2e-4
+    and split-R̂(raw_noise) = 50 without this)."""
+    import optax
+
+    neg = lambda q: -log_prob_fn(q)
+    opt = optax.lbfgs()
+
+    @jax.jit
+    def run(p0):
+        vg = optax.value_and_grad_from_state(neg)
+
+        def step(carry, _):
+            p, st = carry
+            v, g = vg(p, state=st)
+            up, st = opt.update(g, st, p, value=v, grad=g, value_fn=neg)
+            return (optax.apply_updates(p, up), st), v
+
+        (p, _), vs = jax.lax.scan(
+            step, (p0, opt.init(p0)), None, length=num_steps
+        )
+        return p, vs
+
+    return run(init_params)
+
+
 def sample_laplace(
     log_prob_fn: LogProbFn,
     mode_params: Dict,
@@ -244,7 +282,14 @@ def sample_laplace(
     h = jax.hessian(logp_flat)(flat0)
     prec = -0.5 * (h + h.T)
     evals, evecs = jnp.linalg.eigh(prec)
-    evals = jnp.maximum(evals, 1e-6)
+    # RELATIVE eigenvalue floor. The round-3 absolute clip (1e-6) let a
+    # near-flat / not-fully-converged mode direction blow the whitened scale
+    # up to 1/sqrt(1e-6) = 1000: a z-step of 0.2 then moved raw params by
+    # ~200, dual averaging collapsed ε to ~2e-4 globally, and the stiff
+    # raw_noise dimension stopped mixing (published split-R̂ = 50). Bounding
+    # the condition number at 1e4 caps the scale spread at 100×, which the
+    # mass-matrix adaptation then finishes off.
+    evals = jnp.maximum(evals, jnp.maximum(1e-4 * jnp.max(evals), 1e-10))
     sqrt_cov = evecs * (1.0 / jnp.sqrt(evals))[None, :]  # Σ^{1/2} (sym-free form)
 
     def log_prob_z(zp):

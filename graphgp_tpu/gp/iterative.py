@@ -20,6 +20,7 @@ from typing import Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..features import Features, contract
@@ -468,6 +469,22 @@ def fit(
         full_space = (
             mask is None and train_idx.shape[0] * 8 >= feats.num_nodes
         )
+        if full_space:
+            # The full-space operator scatters y/CG state with .at[].add —
+            # duplicate train ids (repeated observations of one node) would
+            # silently merge, changing the MLL vs the compact path. train_idx
+            # is concrete here (fit is called outside jit): verify.
+            ti = np.asarray(train_idx)
+            if np.unique(ti).size != ti.shape[0]:
+                full_space = False
+    elif full_space:
+        ti = np.asarray(train_idx)
+        if np.unique(ti).size != ti.shape[0]:
+            raise ValueError(
+                "full_space=True requires distinct train node ids "
+                "(duplicates would merge in the scatter; use the compact "
+                "path for repeated observations)"
+            )
     trained, losses = _fit_run(
         feats, train_idx, y, mask, num_real, k_loop, init,
         kind, settings, num_steps, learning_rate, full_space,

@@ -35,7 +35,7 @@ once-per-backward XLA roll reduction.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Tuple
 
 import jax
@@ -43,10 +43,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-# Scoped-VMEM plan: measured on v5e at (S=41, B=8), the compiled kernel's
-# stack allocation is ≈ 1174 bytes/column (double-buffered w + 3 v blocks +
-# window concat + accumulator + sublane padding). The formula below bounds it
-# with margin; the hard chip limit is 16 MB.
+# Scoped-VMEM plan: measured on v5e, the compiled kernel's stack allocation
+# is ≈ 2500 bytes/column at (S=41, B=16) — Mosaic keeps more live copies than
+# the naive operand count (the round-3 4·(5S+16B) model compiled 18.27 MB
+# against the 16 MB scoped limit at the flagship N=1e6, B=16 launch and
+# killed the whole BO sweep). The formula below over-covers that measurement;
+# plans are additionally VALIDATED by an AOT probe compile (_planned_c) that
+# shrinks the block until the real compiler accepts it, so a planner miss
+# degrades to a smaller block (or the XLA roll chain) instead of a dead run.
 _VMEM_BUDGET = 13 << 20
 _LANES = 128
 # Batch rows per kernel launch; larger batches chunk outside (pathwise
@@ -64,13 +68,63 @@ def center_offsets(offsets: np.ndarray, n: int) -> np.ndarray:
 def plan_blocks(n: int, s: int, b: int, h: int) -> int:
     """Column block size C (multiple of 128, ≥ H, ≤ N) fitting the scoped-
     VMEM budget, or 0 if no legal C exists (→ XLA roll-chain fallback)."""
-    per_col = 4 * (5 * s + 16 * b)
+    per_col = 4 * (6 * s + 28 * b)  # ≥ measured 2500 B/col at (41, 16)
     c = (_VMEM_BUDGET // per_col) // _LANES * _LANES
     # the circular pads are C columns of the real array: C ≤ N required
     c = min(c, n // _LANES * _LANES)
     if c < max(h, _LANES):
         return 0
     return c
+
+
+def _min_block(h: int) -> int:
+    """Smallest legal (lane-aligned, ≥ halo) block size."""
+    return -(-max(h, _LANES) // _LANES) * _LANES
+
+
+def _probe_ok(n: int, s: int, b: int, c: int, offsets: Tuple[int, ...]) -> bool:
+    """AOT-compile the kernel (both offset signs — the custom-VJP backward
+    runs the negated variant) at these exact shapes; True iff the TPU
+    compiler accepts the scoped-VMEM footprint. Compiles land in JAX's
+    cache, so a successful probe is not wasted work."""
+    try:
+        wspec = jax.ShapeDtypeStruct((s, n), jnp.float32)
+        vspec = jax.ShapeDtypeStruct((b, n), jnp.float32)
+        _matvec_pallas.lower(wspec, vspec, offsets=offsets, c=c).compile()
+        _matvec_pallas.lower(
+            wspec, vspec, offsets=_neg(offsets), c=c
+        ).compile()
+        return True
+    except Exception:
+        return False
+
+
+@lru_cache(maxsize=None)
+def _planned_c(
+    n: int, s: int, b: int, offsets: Tuple[int, ...], probe: bool
+) -> int:
+    """Validated column block size for a (n, s, b, offsets) launch, or 0 if
+    no block compiles (→ caller falls back to the XLA roll chain).
+
+    With ``probe`` (TPU, non-interpret), each candidate is AOT-compiled and
+    shrunk ×3/4 on rejection — the planner model only picks the starting
+    point; the real compiler has the final word on the 16 MB scoped limit.
+    """
+    offs = np.asarray(offsets)
+    h = int(np.abs(offs).max()) if offs.size else 0
+    c = plan_blocks(n, s, b, h)
+    if c <= 0 or not probe:
+        return max(c, 0)
+    floor = min(_min_block(h), n // _LANES * _LANES)
+    while c >= floor and c > 0:
+        if _probe_ok(n, s, b, c, offsets):
+            return c
+        c = (c * 3 // 4) // _LANES * _LANES
+    return 0
+
+
+def _should_probe(interpret: bool) -> bool:
+    return (not interpret) and jax.default_backend() == "tpu"
 
 
 def _pad_circular(x: jnp.ndarray, n: int, c: int, nb: int) -> jnp.ndarray:
@@ -104,14 +158,14 @@ def _block_specs_3(block_shape):
     return [at(0), at(1), at(2)]
 
 
-@partial(jax.jit, static_argnames=("offsets", "interpret"))
-def _matvec_pallas(w, v, offsets: Tuple[int, ...], interpret: bool = False):
+@partial(jax.jit, static_argnames=("offsets", "c", "interpret"))
+def _matvec_pallas(
+    w, v, offsets: Tuple[int, ...], c: int, interpret: bool = False
+):
     s, n = w.shape
     b = v.shape[0]
     offs = np.asarray(offsets, np.int64)
-    h = int(np.abs(offs).max()) if offs.size else 0
-    c = plan_blocks(n, s, b, h)
-    assert c > 0, "caller must pre-check plan_blocks"
+    assert c > 0, "caller must pre-check _planned_c"
     nb = -(-n // c)
     vp = _pad_circular(v, n, c, nb)
     wp = (
@@ -151,24 +205,26 @@ def _dw_matvec(v, g, offsets):
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def stencil_matvec_pallas(
-    w, v, offsets: Tuple[int, ...], interpret: bool = False
+    w, v, offsets: Tuple[int, ...], c: int, interpret: bool = False
 ):
     """``out[b, i] = Σ_s w[s, i] · v[b, (i + off_s) mod n]`` — the batch-major
     ``V @ Φᵀ`` of features.stencil_phi_matvec_bm, in one HBM pass."""
-    return _matvec_pallas(w, v, offsets, interpret)
+    return _matvec_pallas(w, v, offsets, c, interpret)
 
 
-def _matvec_fwd(w, v, offsets, interpret):
-    return _matvec_pallas(w, v, offsets, interpret), (w, v)
+def _matvec_fwd(w, v, offsets, c, interpret):
+    return _matvec_pallas(w, v, offsets, c, interpret), (w, v)
 
 
-def _matvec_bwd(offsets, interpret, res, g):
+def _matvec_bwd(offsets, c, interpret, res, g):
     w, v = res
     # dv[b, j] = Σ_s w[s, j−off_s] g[b, j−off_s]: the transposed product —
     # same kernel, weights pre-shifted, offsets negated.
-    dv = _matvec_pallas(shifted_weights(w, offsets), g, _neg(offsets), interpret)
+    dv = _matvec_pallas(
+        shifted_weights(w, offsets), g, _neg(offsets), c, interpret
+    )
     return _dw_matvec(v, g, offsets), dv
 
 
@@ -176,20 +232,36 @@ stencil_matvec_pallas.defvjp(_matvec_fwd, _matvec_bwd)
 
 
 def pallas_applicable(n: int, s: int, offsets: np.ndarray) -> bool:
-    """True when the windowed kernel covers this stencil (halo fits a legal
-    block at the chunked launch batch)."""
-    offs = center_offsets(offsets, n)
-    h = int(np.abs(offs).max()) if offs.size else 0
-    return plan_blocks(n, s, _MAX_BATCH, h) > 0
+    """True when the windowed kernel covers this stencil: a block plan at the
+    chunked launch batch exists AND (on TPU) survives a real AOT compile."""
+    offs = tuple(center_offsets(offsets, n).tolist())
+    return _planned_c(n, s, _MAX_BATCH, offs, _should_probe(False)) > 0
+
+
+def _roll_matvec(w, v, offs: Tuple[int, ...]) -> jnp.ndarray:
+    """XLA roll-chain fallback with identical semantics to the kernel —
+    used per-chunk when no block size compiles (planner returned 0)."""
+    out = jnp.zeros_like(v, dtype=jnp.float32)
+    for si, off in enumerate(offs):
+        out = out + w[si][None, :] * jnp.roll(v, -int(off), axis=-1)
+    return out
+
+
+def _one_chunk(w, v, offs: Tuple[int, ...], interpret: bool):
+    s, n = w.shape
+    c = _planned_c(n, s, v.shape[0], offs, _should_probe(interpret))
+    if c <= 0:
+        return _roll_matvec(w, v, offs)
+    return stencil_matvec_pallas(w, v, offs, c, interpret)
 
 
 def _chunked(w, v, offs: Tuple[int, ...], interpret: bool):
     b = v.shape[0]
     if b <= _MAX_BATCH:
-        return stencil_matvec_pallas(w, v, offs, interpret)
+        return _one_chunk(w, v, offs, interpret)
     return jnp.concatenate(
         [
-            stencil_matvec_pallas(w, v[i : i + _MAX_BATCH], offs, interpret)
+            _one_chunk(w, v[i : i + _MAX_BATCH], offs, interpret)
             for i in range(0, b, _MAX_BATCH)
         ],
         axis=0,

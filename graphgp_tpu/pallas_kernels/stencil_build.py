@@ -28,10 +28,13 @@ _VMEM_BUDGET = 10 << 20
 
 
 def plan_cols(l: int, r: int, s: int) -> int:
-    """Node-axis block size for the conversion kernel."""
+    """Node-axis block size for the conversion kernel, or 0 when no legal
+    (lane-aligned) block fits the VMEM budget — the caller
+    (features.ell_to_stencil) then keeps the XLA chunk path instead of
+    risking a scoped-VMEM compile failure on wide-ELL graphs."""
     per_col = 4 * (2 * 2 * l * r + l * s + 2 * l * r)  # in tiles ×2 (dbl buf) + out + work
     c = (_VMEM_BUDGET // per_col) // _LANES * _LANES
-    return max(c, _LANES)
+    return c if c >= _LANES else 0
 
 
 def _build_kernel(cols_ref, vals_ref, out_ref, *, offs: Tuple[int, ...], c: int):

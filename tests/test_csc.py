@@ -96,3 +96,26 @@ def test_preprocessor_auto_attaches_transpose(er_adj):
     cfg = WalkConfig(walks_per_node=16, p_halt=0.15, max_walk_length=3)
     feats = preprocess_graph(er_adj, cfg, seed=3, layout="auto")
     assert isinstance(feats, EllFeatures) and feats.csc is not None
+
+
+def test_csc_rmatvec_bm_chunked_matches_monolithic(er_adj, monkeypatch):
+    """The slab-chunked batched rmatvec (open-segment carry across slab
+    boundaries) must be exact at ANY chunk size — regression for the
+    facebook HBM OOM where the monolithic (B, E) scan buffers compiled at
+    8× padded layout (features._CSC_CHUNK rationale)."""
+    import graphgp_tpu.features as F
+
+    cfg = WalkConfig(walks_per_node=24, p_halt=0.1, max_walk_length=4)
+    ell = _ell(er_adj, cfg)
+    csc = transpose_ell(ell.mats)
+    n = ell.num_nodes
+    f = jnp.asarray([1.0, -0.5, 0.3, 0.1])
+    vb = jax.random.normal(jax.random.PRNGKey(7), (6, n))
+    ref = np.asarray(csc_phi_rmatvec_bm(csc, f, vb))
+    e = int(csc.rows.shape[1])
+    # odd / misaligned chunk sizes so segments straddle every kind of slab
+    # boundary (e//7+1 guarantees a non-divisor with several slabs)
+    for chunk in (max(e // 7 + 1, 1), max(e // 3, 1), max(e // 2 + 13, 1), e):
+        monkeypatch.setattr(F, "_CSC_CHUNK", chunk)
+        out = np.asarray(csc_phi_rmatvec_bm(csc, f, vb))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)

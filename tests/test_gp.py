@@ -301,6 +301,35 @@ def test_hmc_gp_posterior(problem):
     assert betas.std() > 0.0
 
 
+def test_hmc_laplace_mixes(problem):
+    """Laplace-whitened HMC around a refined mode must actually mix: all
+    per-parameter split-R̂ ≤ 1.1 (regression for the round-3 published run
+    where a stale mode + absolute eigenvalue clip left R̂(raw_noise)=50)."""
+    p = problem
+    y_tr = p["y_all"][p["train_idx"]]
+    fitres = exact.fit(
+        p["feats"], p["train_idx"], y_tr, kind="diffusion", num_steps=150
+    )
+    log_post = hmc.make_gp_log_posterior(
+        lambda q: exact.mll(p["feats"], q, p["train_idx"], y_tr, kind="diffusion")
+    )
+    mode, losses = hmc.refine_mode(log_post, fitres.params)
+    assert float(losses[-1]) <= float(losses[0]) + 1e-3
+    res = hmc.sample_laplace(
+        log_post, mode, jax.random.PRNGKey(1),
+        config=hmc.HMCConfig(
+            num_warmup=150, num_samples=300, num_leapfrog=12,
+            initial_step_size=0.2,
+        ),
+        num_chains=4,
+    )
+    # healthy whitened step sizes — not the 2e-4 collapse signature
+    assert np.all(np.asarray(res.step_size) > 0.01), res.step_size
+    rhats = hmc.split_rhat_tree(res.samples)
+    for name, r in rhats.items():
+        assert float(np.max(np.asarray(r))) < 1.1, (name, np.asarray(r))
+
+
 def test_batch_major_products_match_column_major(problem):
     """matvec_bm/rmatvec_bm must equal the transposed column-major products
     on every feature layout (the TPU batch-major fast path is a layout
