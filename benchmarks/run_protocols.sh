@@ -16,6 +16,12 @@
 cd "$(dirname "$0")/.." || exit 1
 mkdir -p artifacts/logs artifacts/results
 
+# Dataset roots — override for checkouts without the reference tree mounted.
+# GraphDataLoader resolves its own root (GRAPHGP_DATA_ROOT or known
+# defaults); CORA_DIR feeds the classification CLI's --cora-dir flag.
+REF_ROOT="${GRAPHGP_REFERENCE_ROOT:-/root/reference}"
+CORA_DIR="${GRAPHGP_CORA_DIR:-$REF_ROOT/experiments/dense/cora/data/cora}"
+
 run() {
   local name="$1" tmo="$2"; shift 2
   echo "=== $name ($(date +%H:%M:%S)) ==="
@@ -31,13 +37,16 @@ run regression_pems 5400 graphgp_tpu.cli.regression --graph-type pems_like \
   --results-dir artifacts/results/pems
 run wind            3600 graphgp_tpu.cli.wind
 run classification  7200 graphgp_tpu.cli.classification \
-  --cora-dir /root/reference/experiments/dense/cora/data/cora \
+  --cora-dir "$CORA_DIR" \
   --walks-per-node 4096 --num-steps 1000 --seeds 5
 run classification_small 3600 graphgp_tpu.cli.classification \
-  --cora-dir /root/reference/experiments/dense/cora/data/cora \
+  --cora-dir "$CORA_DIR" \
   --walks-per-node 4096 --num-steps 1000 --seeds 5 --small-train 140 \
   --results-dir artifacts/results/cora_small
-run scaling         5400 graphgp_tpu.cli.scaling --sizes 256 1024 4096 16384 65536 262144
+# full reference span 2^5..2^20 (run_scaling_experiment.py:62-77): dense-vs-
+# sparse RW at 2^5..2^10, iterative GP through the 1e6 flagship, exact <=1024
+run scaling        10800 graphgp_tpu.cli.scaling --sizes 32 64 128 256 512 1024 \
+  2048 4096 8192 16384 32768 65536 131072 262144 524288 1048576
 run hmc             3600 graphgp_tpu.cli.hmc
 run bo_small        5400 graphgp_tpu.cli.bo --graph-type grid --n-nodes 4096 \
   --iterations 30 --runs 3 --walks-per-node 500

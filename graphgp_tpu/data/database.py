@@ -83,7 +83,25 @@ def _load_csr_npz(path: str) -> Arrays:
 class GraphDataLoader:
     """callable: ``loader(name) -> {'adjacency', 'node_ids', 'y_observed', ...}``."""
 
-    def __init__(self, data_root: str = "raw_data", cache_dir: Optional[str] = None):
+    # Candidate data roots when none is given: a local raw_data/ checkout,
+    # then the reference repo's dataset tree (the offline source in this
+    # environment). Override with GRAPHGP_DATA_ROOT or the data_root arg —
+    # no committed symlink to a machine-specific absolute path.
+    _DEFAULT_ROOTS = (
+        "raw_data",
+        "/root/reference/experiments/graph_bo/data/raw_data",
+    )
+
+    def __init__(
+        self, data_root: Optional[str] = None, cache_dir: Optional[str] = None
+    ):
+        if data_root is None:
+            data_root = os.environ.get("GRAPHGP_DATA_ROOT")
+        if data_root is None:
+            data_root = next(
+                (r for r in self._DEFAULT_ROOTS if os.path.isdir(r)),
+                self._DEFAULT_ROOTS[0],
+            )
         self.data_root = data_root
         self.cache_dir = cache_dir or "processed_data"
         self._memory_cache: Dict[str, Dict] = {}

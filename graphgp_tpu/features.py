@@ -345,16 +345,38 @@ def ell_phi_rows(
 # ---------------------------------------------------------------------------
 
 
+# Virtual-row geometry of the column-sorted transpose. Each column's entries
+# are padded up to multiples of _CSC_BLOCK (the 128-lane width) and split
+# into "virtual rows" of exactly _CSC_BLOCK entries; Φᵀv then reduces each
+# virtual row DENSELY (one gather + one lane reduction — a single pass over
+# the entries) and only the ~E/128 virtual-row partials go through the
+# segmented scan. The round-3 design ran the Hillis–Steele scan over the raw
+# entry axis — log2(E) ≈ 20+ full-array passes (~40× the data in HBM
+# traffic) and, chunked, a program so large the flagship remote compile
+# rejected it (HTTP 413) — where this layout does one pass plus noise.
+_CSC_BLOCK = 128
+# Virtual rows per inner-scan chunk: bounds the (B, Vc, 128) gather
+# transient (~268 MB at B=16) regardless of XLA's layout choice, and keeps
+# the compiled program one-chunk-sized (lax.scan over chunks, not unrolled).
+_CSC_VROW_CHUNK = 1 << 15
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CscStepMatrices:
-    """Per-step transposed step matrices as column-sorted flat entries.
+    """Per-step transposed step matrices in virtual-row layout.
 
-    rows: int32[L, E] — source (start) node of each entry.
-    vals: float32[L, E] — M_l[row, col] (dead padding carries 0).
-    seg_start: bool[L, E] — entry opens a new column segment.
-    last_pos: int32[L, Nt] — flat index of column c's last entry (0 if none).
+    rows: int32[L, C, Vc, 128] — source (start) node per entry (pad → 0).
+    vals: float32[L, C, Vc, 128] — M_l[row, col] (pad entries carry 0).
+    seg_start: bool[L, C, Vc] — virtual row opens a new column.
+    last_pos: int32[L, Nt] — GLOBAL virtual-row index of column c's last
+        virtual row (0 if none).
     has_any: bool[L, Nt] — column c has at least one live entry.
+
+    C·Vc virtual rows of 128 entries each; a column with k live entries
+    occupies ceil(k/128) consecutive virtual rows (zero-padded), so hub
+    columns of social graphs cost exactly their entry count — no per-column
+    ELL capacity blowup (the reason a transposed ELL is infeasible here).
     """
 
     rows: jnp.ndarray
@@ -370,6 +392,10 @@ class CscStepMatrices:
     @property
     def num_target_nodes(self) -> int:
         return self.last_pos.shape[1]
+
+    @property
+    def vrow_chunk(self) -> int:
+        return self.seg_start.shape[2]
 
 
 def segmented_sum_scan(z: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
@@ -395,126 +421,149 @@ def segmented_sum_scan(z: jnp.ndarray, seg_start: jnp.ndarray) -> jnp.ndarray:
     return s
 
 
-def transpose_ell(mats: EllStepMatrices) -> CscStepMatrices:
-    """One-time build of the column-sorted transpose (cache with the mats).
+def _ceil_mult(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    Per step: flatten (row, col, val) entries, push dead entries to the end
-    under a sentinel column, ONE 3-operand lax.sort keyed on column, then
-    mark segment boundaries and record each column's last-entry position
-    (a single build-time scatter-max; the hot path stays scatter-free).
+
+def transpose_ell(mats: EllStepMatrices) -> CscStepMatrices:
+    """One-time build of the virtual-row column transpose (cache with the
+    mats — the preprocessor stores it as an npz sidecar).
+
+    Host-side NumPy: per step, sort live entries by column, pad each
+    column's run to a multiple of _CSC_BLOCK, and scatter entries into
+    their (virtual row, lane) slots. One argsort + a few prefix sums per
+    step; the hot path (csc_phi_rmatvec_bm) then never sorts or scatters.
     """
     l, n, r = mats.cols.shape
     nt = mats.num_target_nodes
-    e = n * r
-    row_ix = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, r)
-    ).reshape(-1)
-    rows_out, vals_out, starts_out, last_out, has_out = [], [], [], [], []
+    blk = _CSC_BLOCK
+    cols_np = np.asarray(mats.cols).reshape(l, -1)
+    vals_np = np.asarray(mats.vals).reshape(l, -1)
+    row_ix = np.repeat(np.arange(n, dtype=np.int32), r)
+
+    per_step = []
+    v_counts = []
     for li in range(l):
-        c = jnp.where(
-            mats.vals[li] == 0.0, _DEAD_COL, mats.cols[li]
-        ).reshape(-1)
-        vbits = jax.lax.bitcast_convert_type(
-            mats.vals[li].reshape(-1), jnp.int32
-        )
-        c, rr, vbits = jax.lax.optimization_barrier((c, row_ix, vbits))
-        c, rr, vv = jax.lax.sort((c, rr, vbits), dimension=0, num_keys=1)
-        v = jax.lax.bitcast_convert_type(vv, jnp.float32)
-        is_start = jnp.concatenate(
-            [jnp.ones((1,), bool), c[1:] != c[:-1]]
-        )
-        pos = jnp.arange(e, dtype=jnp.int32)
-        last = (
-            jnp.full((nt,), -1, jnp.int32).at[c].max(pos, mode="drop")
-        )
-        has_out.append(last >= 0)
-        last_out.append(jnp.maximum(last, 0))
-        rows_out.append(rr)
-        vals_out.append(v)
-        starts_out.append(is_start)
+        v = vals_np[li]
+        live = v != 0.0
+        c_l = cols_np[li][live]
+        v_l = v[live]
+        r_l = row_ix[live]
+        order = np.argsort(c_l, kind="stable")
+        c_l, v_l, r_l = c_l[order], v_l[order], r_l[order]
+        uniq, counts = np.unique(c_l, return_counts=True)
+        padded = ((counts + blk - 1) // blk) * blk
+        bases = np.concatenate([[0], np.cumsum(padded)[:-1]]).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        k = np.arange(c_l.size, dtype=np.int64) - np.repeat(starts, counts)
+        dest = np.repeat(bases, counts) + k
+        total = max(int(padded.sum()), blk)
+        rows_o = np.zeros(total, np.int32)
+        vals_o = np.zeros(total, np.float32)
+        rows_o[dest] = r_l
+        vals_o[dest] = v_l
+        nv = total // blk
+        seg = np.zeros(nv, bool)
+        seg[0] = True
+        vbases = (bases // blk).astype(np.int64)
+        seg[vbases[: uniq.size]] = True
+        has = np.zeros(nt, bool)
+        last = np.zeros(nt, np.int32)
+        has[uniq] = True
+        last[uniq] = (vbases + padded // blk - 1)[: uniq.size]
+        per_step.append((rows_o, vals_o, seg, last, has))
+        v_counts.append(nv)
+
+    vmax = max(v_counts)
+    vc = min(_CSC_VROW_CHUNK, 1 << (vmax - 1).bit_length() if vmax > 1 else 1)
+    v_tot = _ceil_mult(vmax, vc)
+    nchunks = v_tot // vc
+
+    rows_all = np.zeros((l, v_tot * blk), np.int32)
+    vals_all = np.zeros((l, v_tot * blk), np.float32)
+    seg_all = np.zeros((l, v_tot), bool)
+    last_all = np.zeros((l, nt), np.int32)
+    has_all = np.zeros((l, nt), bool)
+    for li, (rows_o, vals_o, seg, last, has) in enumerate(per_step):
+        rows_all[li, : rows_o.size] = rows_o
+        vals_all[li, : vals_o.size] = vals_o
+        seg_all[li, : seg.size] = seg
+        last_all[li] = last
+        has_all[li] = has
+
     return CscStepMatrices(
-        rows=jnp.stack(rows_out),
-        vals=jnp.stack(vals_out),
-        seg_start=jnp.stack(starts_out),
-        last_pos=jnp.stack(last_out),
-        has_any=jnp.stack(has_out),
+        rows=jnp.asarray(rows_all.reshape(l, nchunks, vc, blk)),
+        vals=jnp.asarray(vals_all.reshape(l, nchunks, vc, blk)),
+        seg_start=jnp.asarray(seg_all.reshape(l, nchunks, vc)),
+        last_pos=jnp.asarray(last_all),
+        has_any=jnp.asarray(has_all),
     )
 
 
 def csc_phi_rmatvec(
     csc: CscStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """``Φᵀ @ v`` via the column-sorted transpose. v: (Nsrc,) → (Nt,)."""
-    f = jnp.asarray(modulator, jnp.float32)
-
-    def body(acc, args):
-        rows_l, vals_l, st_l, lp_l, ha_l, f_l = args
-        z = vals_l * v[rows_l]
-        s = segmented_sum_scan(z, st_l)
-        return acc + f_l * jnp.where(ha_l, s[lp_l], 0.0), None
-
-    acc0 = jnp.zeros((csc.num_target_nodes,), jnp.float32)
-    acc, _ = jax.lax.scan(
-        body,
-        acc0,
-        (csc.rows, csc.vals, csc.seg_start, csc.last_pos, csc.has_any, f),
-    )
-    return acc
-
-
-# Entry-axis chunk size for the batched CSC rmatvec. The round-3 monolithic
-# (B, E) segmented scan let XLA pick a batch-minor layout at the facebook
-# shape (E = 17.8M): f32[16, E]{0,1} pads the 16-row batch to the 128-lane
-# tile — 8× memory — and two such live buffers compiled to 2×8.49 GB (HBM
-# OOM, the bo_facebook failure). Chunking bounds every scan buffer to
-# (B, _CSC_CHUNK) regardless of layout choice; an open-segment carry makes
-# the chunked scan exact across boundaries.
-_CSC_CHUNK = 1 << 20
+    """``Φᵀ @ v`` via the virtual-row transpose. v: (Nsrc,) → (Nt,)."""
+    return csc_phi_rmatvec_bm(csc, modulator, v[None, :])[0]
 
 
 def csc_phi_rmatvec_bm(
     csc: CscStepMatrices, modulator: jnp.ndarray, v: jnp.ndarray
 ) -> jnp.ndarray:
-    """``V @ Φ`` batch-major via the column-sorted transpose.
+    """``V @ Φ`` batch-major via the virtual-row transpose.
     v: (B, Nsrc) → (B, Nt).
 
-    Entries are processed in _CSC_CHUNK-sized slabs: each slab runs the
-    Hillis–Steele within-segment scan locally, a carry (the running sum of
-    the segment left open at the slab boundary) patches entries before the
-    slab's first segment start, and each column's total is gathered from the
-    slab containing its last entry.
+    Two-level reduction, scanned over fixed-shape chunks (program size is
+    ONE chunk body — the round-3 unrolled entry-chunking compiled a program
+    the remote TPU compile rejected outright at the facebook shape):
+
+      level 1: gather + lane-reduce each (Vc, 128) virtual-row tile —
+               a single dense pass over the entries;
+      level 2: Hillis–Steele segmented scan over the (B, Vc) virtual-row
+               partials (128× smaller than the entry axis), with an
+               open-segment carry across chunk boundaries;
+      extract: each column's total is gathered from the chunk holding its
+               last virtual row.
     """
     f = jnp.asarray(modulator, jnp.float32)
     b = v.shape[0]
     nt = csc.num_target_nodes
-    e = csc.rows.shape[1]
-    k = min(_CSC_CHUNK, e)
+    vc = csc.vrow_chunk
 
-    def body(acc, args):
+    def step_body(acc, args):
         rows_l, vals_l, st_l, lp_l, ha_l, f_l = args
-        out_l = jnp.zeros((b, nt), jnp.float32)
-        carry = jnp.zeros((b,), jnp.float32)
-        for lo in range(0, e, k):
-            hi = min(lo + k, e)
-            rows_c = rows_l[lo:hi]
-            st_c = st_l[lo:hi]
-            z = vals_l[lo:hi][None, :] * v[:, rows_c]  # (B, K)
-            s = segmented_sum_scan(z, st_c)
-            # positions before the slab's first segment start continue the
-            # open segment from the previous slab: add its running sum
+        # chunk-local gather targets of each column's last virtual row
+        lp_chunk = lp_l // vc
+        lp_local = lp_l % vc
+
+        def chunk_body(carry_state, chunk_args):
+            out_l, carry, ci = carry_state
+            rows_c, vals_c, st_c = chunk_args  # (Vc, 128), (Vc, 128), (Vc,)
+            g = v[:, rows_c]  # (B, Vc, 128)
+            partial = jnp.einsum("vr,bvr->bv", vals_c, g)  # (B, Vc)
+            s = segmented_sum_scan(partial, st_c)
             open_mask = (jnp.cumsum(st_c.astype(jnp.int32)) == 0).astype(
                 jnp.float32
             )
             s = s + carry[:, None] * open_mask[None, :]
             carry = s[:, -1]
-            in_slab = ha_l & (lp_l >= lo) & (lp_l < hi)
-            local = jnp.clip(lp_l - lo, 0, hi - lo - 1)
-            out_l = out_l + jnp.where(in_slab[None, :], s[:, local], 0.0)
+            here = ha_l & (lp_chunk == ci)
+            out_l = out_l + jnp.where(here[None, :], s[:, lp_local], 0.0)
+            return (out_l, carry, ci + 1), None
+
+        init = (
+            jnp.zeros((b, nt), jnp.float32),
+            jnp.zeros((b,), jnp.float32),
+            jnp.int32(0),
+        )
+        (out_l, _, _), _ = jax.lax.scan(
+            chunk_body, init, (rows_l, vals_l, st_l)
+        )
         return acc + f_l * out_l, None
 
     acc0 = jnp.zeros((b, nt), jnp.float32)
     acc, _ = jax.lax.scan(
-        body,
+        step_body,
         acc0,
         (csc.rows, csc.vals, csc.seg_start, csc.last_pos, csc.has_any, f),
     )
@@ -621,6 +670,107 @@ def stencil_phi_rmatvec_bm(
 
 
 # ---------------------------------------------------------------------------
+# Custom VJPs for the batched ELL/CSC products.
+#
+# These products are LINEAR in (f, v); letting JAX transpose their
+# implementation graphs is both wasteful and dangerous: the AD transpose of
+# the chunked segmented scan (csc_phi_rmatvec_bm) materializes per-stage
+# cotangents across all log2(K) Hillis–Steele passes — measured
+# RESOURCE_EXHAUSTED at the facebook shape (N=22470, R=792, E=17.8M) on a
+# 16 GB chip — and the AD transpose of the gather matvec is a scatter-add
+# (the exact pathology the CSC layout exists to avoid). Instead each product
+# declares its transpose analytically as the opposite-direction product in
+# its best layout:
+#
+#     d/dv [V Φᵀ] · G = G Φ      (the rmatvec — CSC path, scatter-free)
+#     d/dv [V Φ] · G  = G Φᵀ     (the matvec — ELL gather, scatter-free)
+#     d/df_l        = ⟨A, B M_lᵀ⟩ per step (one gather+einsum contraction)
+#
+# Step-matrix cotangents are structural zeros (float0 for int/bool leaves,
+# zeros_like for vals — DCE'd by XLA: mll_cg wraps feats in stop_gradient).
+# ---------------------------------------------------------------------------
+
+
+def _zero_cotangent(tree):
+    return jax.tree_util.tree_map(
+        lambda x: (
+            jnp.zeros_like(x)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+            else np.zeros(x.shape, jax.dtypes.float0)
+        ),
+        tree,
+    )
+
+
+def _ell_df(mats: EllStepMatrices, a: jnp.ndarray, bb: jnp.ndarray):
+    """df_l = Σ_{b,i} a[b,i] · (B M_lᵀ)[b,i] with (B M_lᵀ)[b,i] =
+    Σ_r vals_l[i,r] · bb[b, cols_l[i,r]] — the shared modulator-cotangent
+    contraction of both product VJPs (one ELL gather + einsum per step)."""
+
+    def body(_, args):
+        cols_l, vals_l = args
+        g = bb[:, cols_l]  # (B, N, R)
+        m = jnp.einsum("nr,bnr->bn", vals_l, g)
+        return None, jnp.vdot(a, m)
+
+    _, df = jax.lax.scan(body, None, (mats.cols, mats.vals))
+    return df
+
+
+@jax.custom_vjp
+def _ell_matvec_bm_op(mats, csc, f, v):
+    """``V @ Φᵀ`` (B, Nt) → (B, N) with analytic transpose."""
+    return ell_phi_matvec_bm(mats, f, v)
+
+
+def _ell_matvec_bm_fwd(mats, csc, f, v):
+    return ell_phi_matvec_bm(mats, f, v), (mats, csc, f, v)
+
+
+def _ell_matvec_bm_bwd(res, g):
+    mats, csc, f, v = res
+    dv = (
+        csc_phi_rmatvec_bm(csc, f, g)
+        if csc is not None
+        else ell_phi_rmatvec_bm(mats, f, g)
+    )
+    df = _ell_df(mats, g, v)
+    return _zero_cotangent(mats), _zero_cotangent(csc), df, dv
+
+
+_ell_matvec_bm_op.defvjp(_ell_matvec_bm_fwd, _ell_matvec_bm_bwd)
+
+
+@jax.custom_vjp
+def _ell_rmatvec_bm_op(mats, csc, f, v):
+    """``V @ Φ`` (B, N) → (B, Nt) with analytic transpose."""
+    return (
+        csc_phi_rmatvec_bm(csc, f, v)
+        if csc is not None
+        else ell_phi_rmatvec_bm(mats, f, v)
+    )
+
+
+def _ell_rmatvec_bm_fwd(mats, csc, f, v):
+    out = (
+        csc_phi_rmatvec_bm(csc, f, v)
+        if csc is not None
+        else ell_phi_rmatvec_bm(mats, f, v)
+    )
+    return out, (mats, csc, f, v)
+
+
+def _ell_rmatvec_bm_bwd(res, g):
+    mats, csc, f, v = res
+    dv = ell_phi_matvec_bm(mats, f, g)
+    df = _ell_df(mats, v, g)
+    return _zero_cotangent(mats), _zero_cotangent(csc), df, dv
+
+
+_ell_rmatvec_bm_op.defvjp(_ell_rmatvec_bm_fwd, _ell_rmatvec_bm_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Unified feature-operator protocol: one GP stack over three layouts.
 # ---------------------------------------------------------------------------
 
@@ -701,17 +851,15 @@ class EllFeatures:
             return (
                 csc_phi_rmatvec(self.csc, f, v)
                 if v.ndim == 1
-                else csc_phi_rmatvec_bm(self.csc, f, v.T).T
+                else _ell_rmatvec_bm_op(self.mats, self.csc, f, v.T).T
             )
         return ell_phi_rmatvec(self.mats, f, v)
 
     def matvec_bm(self, f, v):
-        return ell_phi_matvec_bm(self.mats, f, v)
+        return _ell_matvec_bm_op(self.mats, self.csc, f, v)
 
     def rmatvec_bm(self, f, v):
-        if self.csc is not None:
-            return csc_phi_rmatvec_bm(self.csc, f, v)
-        return ell_phi_rmatvec_bm(self.mats, f, v)
+        return _ell_rmatvec_bm_op(self.mats, self.csc, f, v)
 
     def rows(self, f, idx):
         return ell_phi_rows(self.mats, f, idx)

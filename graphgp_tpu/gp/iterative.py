@@ -32,14 +32,25 @@ _LOG2PI = 1.8378770664093453
 
 @dataclasses.dataclass(frozen=True)
 class CGSettings:
-    """Solver knobs. Defaults mirror the reference parity configuration
-    (bo_utils/config.py:6-15): loose tolerance, few probes. Tighten for
-    quality runs."""
+    """Solver knobs. Defaults are TPU-tuned (16 probes amortize well on the
+    128-lane batch-major products; 15 Lanczos iters give a usable logdet).
+    For runs that must match the reference's GPyTorch configuration use
+    :meth:`reference_parity`."""
 
     cg_tol: float = 1e-2
     cg_max_iters: int = 100
     num_probes: int = 16
     num_lanczos_iters: int = 15
+
+    @classmethod
+    def reference_parity(cls) -> "CGSettings":
+        """The reference's exact GPyTorch knobs (experiments/sparse/
+        scalable_bo/bo_utils/config.py:6-15): cg_tolerance=1e-2,
+        num_trace_samples=64, max_lanczos_quadrature_iterations=1 (their
+        deliberately crude logdet), Cholesky + preconditioner disabled."""
+        return cls(
+            cg_tol=1e-2, cg_max_iters=100, num_probes=64, num_lanczos_iters=1
+        )
 
 
 def _expand(v: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -428,6 +439,43 @@ def _fit_run(
     return p, losses
 
 
+@partial(
+    jax.jit,
+    static_argnames=("kind", "settings", "learning_rate", "full_space"),
+)
+def _fit_step(
+    feats,
+    train_idx,
+    y,
+    mask,
+    num_real,
+    step_key,
+    p,
+    opt_state,
+    kind: str,
+    settings: CGSettings,
+    learning_rate: float,
+    full_space: bool = False,
+):
+    """One jitted Adam step on the CG marginal likelihood.
+
+    The host loop over this (fit's default) replaces the all-in-one scanned
+    program for large unstructured graphs: the fused _fit_run executable at
+    the facebook shape (N=22470, E'=18M CSC) deterministically faulted the
+    TPU runtime, while the identical math as per-step dispatches runs
+    cleanly — and the step executable is cached across every retrain of a
+    BO run, so the host loop costs only dispatch latency."""
+    opt = optax.adam(learning_rate)
+    loss, grads = jax.value_and_grad(
+        lambda q: -mll_cg(
+            feats, q, train_idx, y, step_key, kind=kind, settings=settings,
+            mask=mask, num_real=num_real, full_space=full_space,
+        )
+    )(p)
+    updates, opt_state = opt.update(grads, opt_state, p)
+    return optax.apply_updates(p, updates), opt_state, loss
+
+
 def fit(
     feats: Features,
     train_idx: jnp.ndarray,
@@ -442,6 +490,7 @@ def fit(
     mask: Optional[jnp.ndarray] = None,
     num_real: Optional[jnp.ndarray] = None,
     full_space: Optional[bool] = None,
+    scan_loop: bool = False,
 ) -> FitResult:
     """Adam ascent of the CG marginal likelihood (reference protocol: Adam
     lr=0.1, 50 epochs — run_scaling_experiment.py:606-611).
@@ -457,6 +506,14 @@ def fit(
     may occur (mask is not None means a BO-style padded buffer, which pads
     with duplicated node 0 — those are masked, so full space stays exact,
     but real duplicates from revisits are possible: stay compact).
+
+    ``scan_loop``: run the whole Adam loop as ONE scanned program
+    (_fit_run) instead of the default host loop over jitted steps
+    (_fit_step). The host loop is the safe default — the fused executable
+    faulted the TPU runtime at large unstructured-graph shapes — and costs
+    only per-step dispatch; opt into the scan when dispatch latency
+    dominates (tiny graphs, many steps) or the loop must live inside a
+    larger jitted program.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -485,8 +542,21 @@ def fit(
                 "(duplicates would merge in the scatter; use the compact "
                 "path for repeated observations)"
             )
-    trained, losses = _fit_run(
-        feats, train_idx, y, mask, num_real, k_loop, init,
-        kind, settings, num_steps, learning_rate, full_space,
-    )
-    return FitResult(params=trained, losses=losses)
+    if scan_loop:
+        trained, losses = _fit_run(
+            feats, train_idx, y, mask, num_real, k_loop, init,
+            kind, settings, num_steps, learning_rate, full_space,
+        )
+        return FitResult(params=trained, losses=losses)
+
+    opt_state = optax.adam(learning_rate).init(init)
+    keys = jax.random.split(k_loop, num_steps)
+    p = init
+    losses = []
+    for i in range(num_steps):
+        p, opt_state, loss = _fit_step(
+            feats, train_idx, y, mask, num_real, keys[i], p, opt_state,
+            kind, settings, learning_rate, full_space,
+        )
+        losses.append(loss)
+    return FitResult(params=p, losses=jnp.stack(losses))

@@ -43,7 +43,7 @@ def _cache_key(adjacency, cfg: WalkConfig, seed: int) -> str:
 
 def save_step_matrices(path: str, mats: EllStepMatrices) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez_compressed(
+    np.savez(
         path,
         cols=np.asarray(mats.cols),
         vals=np.asarray(mats.vals),
@@ -99,11 +99,22 @@ def preprocess_graph(
         log_budget_bytes if log_budget_bytes is not None else DEFAULT_LOG_BUDGET_BYTES
     )
     if cache_dir is not None:
-        path = os.path.join(cache_dir, f"step_matrices_{_cache_key(adjacency, cfg, seed)}.npz")
+        base = os.path.join(
+            cache_dir, f"step_matrices_{_cache_key(adjacency, cfg, seed)}"
+        )
+        path = base + ".npz"
         if os.path.exists(path):
+            # Derived-layout sidecars first: the stencil/CSC conversions cost
+            # tens of seconds at large N (offset-vocabulary scan + per-step
+            # sorts) and are pure functions of the cached ELL matrices —
+            # load them instead of recomputing on every driver start.
+            if layout == "auto":
+                cached = _load_layout_sidecar(base)
+                if cached is not None:
+                    return cached
             # Cache hit goes through the SAME layout conversion as a cold
             # run, so the returned feature type never depends on cache state.
-            return _apply_layout(load_step_matrices(path), layout)
+            return _apply_layout(load_step_matrices(path), layout, base)
 
     graph = pack_laplacian(adjacency)
     key = jax.random.PRNGKey(seed)
@@ -124,14 +135,52 @@ def preprocess_graph(
 
     if cache_dir is not None:
         save_step_matrices(path, mats)
-    return _apply_layout(mats, layout)
+        return _apply_layout(mats, layout, base)
+    return _apply_layout(mats, layout, None)
 
 
-def _apply_layout(mats: EllStepMatrices, layout: str):
+def _load_layout_sidecar(base: str):
+    """Load a cached derived layout (stencil or ELL+CSC) if present."""
+    import jax.numpy as jnp
+
+    from .features import (
+        CscStepMatrices,
+        EllFeatures,
+        StencilFeatures,
+        StencilStepMatrices,
+    )
+
+    spath = base + ".stencil.npz"
+    if os.path.exists(spath):
+        with np.load(spath) as z:
+            return StencilFeatures(
+                StencilStepMatrices(
+                    vals=jnp.asarray(z["vals"]),
+                    offsets=np.asarray(z["offsets"], np.int32),
+                )
+            )
+    cpath = base + ".csc.npz"
+    if os.path.exists(cpath):
+        mats = load_step_matrices(base + ".npz")
+        with np.load(cpath) as z:
+            csc = CscStepMatrices(
+                rows=jnp.asarray(z["rows"]),
+                vals=jnp.asarray(z["vals"]),
+                seg_start=jnp.asarray(z["seg_start"]),
+                last_pos=jnp.asarray(z["last_pos"]),
+                has_any=jnp.asarray(z["has_any"]),
+            )
+        return EllFeatures(mats=mats, csc=csc)
+    return None
+
+
+def _apply_layout(mats: EllStepMatrices, layout: str, base: Optional[str] = None):
     """ELL step matrices → requested feature layout. ``auto`` upgrades to the
     gather-free stencil form when the graph's offset vocabulary is small
     (structured graphs), and otherwise attaches the column-sorted transpose
-    so Φᵀ products avoid TPU scatter-adds (unstructured graphs)."""
+    so Φᵀ products avoid TPU scatter-adds (unstructured graphs). With
+    ``base``, the derived layout is saved as a sidecar npz next to the ELL
+    cache so later loads skip the conversion."""
     if layout == "auto":
         from .features import StencilFeatures, ell_to_stencil, with_transpose
 
@@ -142,6 +191,23 @@ def _apply_layout(mats: EllStepMatrices, layout: str):
         max_offsets = min(256, max(64, int(mats.num_nodes ** 0.5)))
         stencil = ell_to_stencil(mats, max_offsets=max_offsets)
         if stencil is not None:
+            if base is not None:
+                np.savez(
+                    base + ".stencil.npz",
+                    vals=np.asarray(stencil.vals),
+                    offsets=np.asarray(stencil.offsets),
+                )
             return StencilFeatures(stencil)
-        return with_transpose(EllFeatures(mats))
+        feats = with_transpose(EllFeatures(mats))
+        if base is not None:
+            csc = feats.csc
+            np.savez(
+                base + ".csc.npz",
+                rows=np.asarray(csc.rows),
+                vals=np.asarray(csc.vals),
+                seg_start=np.asarray(csc.seg_start),
+                last_pos=np.asarray(csc.last_pos),
+                has_any=np.asarray(csc.has_any),
+            )
+        return feats
     return EllFeatures(mats)
