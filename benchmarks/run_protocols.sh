@@ -54,8 +54,10 @@ run bo_facebook     5400 graphgp_tpu.cli.bo --graph-type facebook \
   --iterations 30 --runs 2 --walks-per-node 1000 --gaussianize \
   --algorithms random_search bfs grf_thompson \
   --results-dir artifacts/results/bo_facebook
-run bo_flagship     7200 graphgp_tpu.cli.bo --graph-type grid --n-nodes 1000000 \
-  --iterations 20 --runs 1 --walks-per-node 1000 \
+run bo_flagship    10800 graphgp_tpu.cli.bo --graph-type grid --n-nodes 1000000 \
+  --iterations 20 --runs 3 --walks-per-node 1000 \
   --algorithms random_search bfs grf_thompson \
   --results-dir artifacts/results/bo_1m
+# multichip scaling-efficiency harness runs on the virtual CPU mesh
+run multichip 3600 graphgp_tpu.cli.multichip --force-cpu
 echo "ALL DONE $(date +%H:%M:%S)"

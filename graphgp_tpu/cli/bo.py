@@ -78,6 +78,116 @@ def make_algorithm(name, data, feats, args, rng):
     raise ValueError(f"unknown algorithm {name!r}")
 
 
+# Flags forwarded verbatim to isolated per-cell child processes.
+_CELL_FLAGS = [
+    ("n_nodes", "--n-nodes"), ("iterations", "--iterations"),
+    ("initial_points", "--initial-points"), ("batch_size", "--batch-size"),
+    ("walks_per_node", "--walks-per-node"), ("p_halt", "--p-halt"),
+    ("max_walk_length", "--max-walk-length"), ("kernel_kind", "--kernel-kind"),
+    ("learning_rate", "--learning-rate"), ("train_epochs", "--train-epochs"),
+    ("gp_retrain_interval", "--gp-retrain-interval"), ("cg_tol", "--cg-tol"),
+    ("cache_dir", "--cache-dir"), ("seed", "--seed"),
+]
+
+
+def _run_isolated(args, targets, seeds):
+    """One subprocess per (dataset, algorithm, seed) cell, with one retry:
+    a TPU-runtime fault (worker crash) poisons the in-process PJRT client
+    permanently, so containment + recovery require a process boundary."""
+    import csv
+    import os
+    import subprocess
+    import sys
+
+    from ..utils.io import print_summary, save_results
+
+    all_records = []
+    for graph_type in targets:
+        for algo_name in args.algorithms:
+            for seed in seeds:
+                cell = f"{graph_type}_{algo_name}_{seed}"
+                cell_dir = os.path.join(args.results_dir, ".cells", cell)
+                cmd = [
+                    sys.executable, "-u", "-m", "graphgp_tpu.cli.bo",
+                    "--graph-type", str(graph_type),
+                    "--algorithms", algo_name,
+                    "--bo-seeds", str(seed),
+                    "--results-dir", cell_dir,
+                ]
+                for attr, flag in _CELL_FLAGS:
+                    cmd += [flag, str(getattr(args, attr))]
+                if args.gaussianize:
+                    cmd.append("--gaussianize")
+                rows, err_text = None, ""
+                for attempt in range(2):
+                    tag = "" if attempt == 0 else " [retry]"
+                    print(f"== cell {cell}{tag} ==", flush=True)
+                    try:
+                        proc = subprocess.run(
+                            cmd, capture_output=True, text=True,
+                            timeout=args.cell_timeout,
+                        )
+                        out = (proc.stdout or "") + (proc.stderr or "")
+                    except subprocess.TimeoutExpired as te:
+                        proc = None
+                        out = (
+                            f"cell timeout after {args.cell_timeout}s\n"
+                            + ((te.stdout or "") if isinstance(te.stdout, str) else "")
+                        )
+                    csv_path = os.path.join(cell_dir, "bo.csv")
+                    if proc is not None and proc.returncode == 0 and os.path.exists(csv_path):
+                        with open(csv_path) as fh:
+                            raw = list(csv.DictReader(fh))
+                        rows = []
+                        for r in raw:
+                            rec = {}
+                            for k, v in r.items():
+                                if v is None or v == "":
+                                    continue
+                                try:
+                                    rec[k] = float(v) if "." in v or "e" in v.lower() else int(v)
+                                except ValueError:
+                                    rec[k] = v
+                            rows.append(rec)
+                        # a child that recorded only error rows is a failure
+                        if any("error" not in r for r in rows):
+                            break
+                        err_text = "\n".join(str(r.get("error", "")) for r in rows)
+                        rows = None
+                    else:
+                        tail = "\n".join(out.splitlines()[-15:])
+                        err_text = f"cell rc={getattr(proc, 'returncode', 'timeout')}\n{tail}"
+                        print(f"!! cell {cell} failed (attempt {attempt + 1}):")
+                        for ln in err_text.splitlines()[-8:]:
+                            print(f"   {ln}")
+                if rows is not None:
+                    all_records.extend(rows)
+                    final = [r for r in rows if r.get("iteration") == args.iterations]
+                    if final:
+                        print(
+                            f"   final best={final[-1].get('best_value')} "
+                            f"regret={final[-1].get('regret')}"
+                        )
+                else:
+                    all_records.append(
+                        {"graph_type": graph_type, "algorithm": algo_name,
+                         "seed": seed, "error": err_text[-8000:]}
+                    )
+
+    path = save_results(all_records, args.results_dir, "bo", config=vars(args))
+    final = [
+        r for r in all_records
+        if r.get("iteration") == args.iterations and "error" not in r
+    ]
+    if final:
+        print_summary(final, ["graph_type", "algorithm"], ["best_value", "regret"])
+    n_err = sum("error" in r for r in all_records)
+    if n_err:
+        print(f"{n_err} sweep cell(s) failed; error rows recorded")
+    print(f"results -> {path}")
+    return all_records
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     from ..utils.config import add_config_flag, parse_with_config
@@ -95,6 +205,19 @@ def main(argv=None):
     )
     p.add_argument("--iterations", type=int, default=20)
     p.add_argument("--runs", type=int, default=3)
+    p.add_argument("--bo-seeds", type=int, nargs="+", default=None,
+                   help="explicit BO seeds (overrides --runs; the reference "
+                        "uses 100+10i, run_bo.py:50)")
+    p.add_argument("--isolate", action="store_true",
+                   help="run each (dataset, algorithm, seed) cell in its own "
+                        "subprocess: a TPU-runtime fault kills one cell, not "
+                        "the sweep, and the next cell reconnects to the "
+                        "recovered device (the in-process client stays dead "
+                        "after a worker crash). Mirrors the reference's "
+                        "per-seed subprocess isolation (ablation_study.py:"
+                        "210-222), applied at the cell level.")
+    p.add_argument("--cell-timeout", type=int, default=5400,
+                   help="per-cell timeout in seconds under --isolate")
     p.add_argument("--initial-points", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--walks-per-node", type=int, default=1000)
@@ -133,8 +256,11 @@ def main(argv=None):
 
     targets = args.datasets or [args.graph_type]
     all_records: List[Dict] = []
-    seeds = [100 + 10 * i for i in range(args.runs)]
+    seeds = args.bo_seeds or [100 + 10 * i for i in range(args.runs)]
     needs_gp = any(a == "grf_thompson" for a in args.algorithms)
+
+    if args.isolate:
+        return _run_isolated(args, targets, seeds)
 
     for graph_type in targets:
         # Sweep fault tolerance (reference run_graph_bo.py:171-175): one bad

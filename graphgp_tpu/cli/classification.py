@@ -67,7 +67,12 @@ def main(argv=None):
     p.add_argument("--walks-per-node", type=int, default=1024)
     p.add_argument("--p-halt", type=float, default=0.1)
     p.add_argument("--max-walk-length", type=int, default=5)
-    p.add_argument("--kernel-kind", default="free", choices=["free", "diffusion"])
+    p.add_argument("--kernel-kind", default="free",
+                   choices=["free", "diffusion", "exact_diffusion"],
+                   help="free/diffusion = GRF features; exact_diffusion = "
+                        "the reference's exact sigma_f^2 expm(-beta L) SVGP "
+                        "variant (classification_multiple_diff.ipynb) via "
+                        "the spectral adapter")
     p.add_argument("--learning-rate", type=float, default=3e-3)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--seeds", type=int, default=5)
@@ -112,13 +117,21 @@ def main(argv=None):
         # inducing points = half the train indices (reference cell 7)
         inducing = tr[:: 2]
 
-        # auto Pallas dispatch in the dense regime; blocked pipeline above
-        # the HBM guardrail (kernels.features_for_adjacency)
-        feats = features_for_adjacency(
-            adj, jax.random.PRNGKey(42 + seed),
-            walks_per_node=args.walks_per_node, p_halt=args.p_halt,
-            max_walk_length=args.max_walk_length,
-        )
+        if args.kernel_kind == "exact_diffusion":
+            # exact-kernel arm: one eigh per seed-independent graph; rebuilt
+            # per seed only when the graph changes (Cora graph is fixed, but
+            # the synthetic fallback resamples per seed)
+            from ..gp import spectral
+
+            feats = spectral.SpectralDiffusionFeatures(spectral.eigenbasis(adj))
+        else:
+            # auto Pallas dispatch in the dense regime; blocked pipeline above
+            # the HBM guardrail (kernels.features_for_adjacency)
+            feats = features_for_adjacency(
+                adj, jax.random.PRNGKey(42 + seed),
+                walks_per_node=args.walks_per_node, p_halt=args.p_halt,
+                max_walk_length=args.max_walk_length,
+            )
 
         res = svgp.fit(
             feats, inducing, tr, y[tr],

@@ -35,13 +35,23 @@ def main(argv=None):
     )
     p.add_argument("--num-warmup", type=int, default=200)
     p.add_argument("--num-samples", type=int, default=300)
-    p.add_argument("--num-leapfrog", type=int, default=12)
+    p.add_argument("--num-leapfrog", type=int, default=48)
+    p.add_argument("--initial-step-size", type=float, default=0.1)
     p.add_argument("--prior-std", type=float, default=2.0)
     p.add_argument("--train-frac", type=float, default=0.5)
     p.add_argument("--results-dir", default="artifacts/results")
     args, _cfg = parse_with_config(p, argv)
 
     import jax
+
+    # HMC needs a low-noise energy: TPU matmuls default to bf16-accumulated
+    # MXU passes, and the resulting O(0.1+) nat jitter in the Cholesky MLL
+    # rejects ~20% of trajectories at ANY step size — dual averaging then
+    # collapses ε (measured 2e-4..0.04 on chip vs 0.7 on CPU with identical
+    # code). Full f32 matmuls make ΔH noise ≪ 1 nat; the dense HMC problem
+    # is small so the MXU throughput loss is irrelevant.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian
@@ -76,9 +86,15 @@ def main(argv=None):
     point_nlpd = float(exact.nlpd(point_post, fit.params, y[te]))
     print(f"ML-II point estimate: rmse={point_rmse:.4f} nlpd={point_nlpd:.4f}")
 
+    # Weak noise anchor at the ML-II value (reference-style prior on the
+    # likelihood variance): removes the raw_noise → −∞ likelihood plateau
+    # that freezes chains (see hmc.make_gp_log_posterior). std 0.5 in raw
+    # space is far weaker than the likelihood's own pinning of the noise.
+    anchors = {"raw_noise": (float(fit.params["raw_noise"]), 0.5)}
     log_post = hmc.make_gp_log_posterior(
         lambda q: exact.mll(feats, q, tr, y[tr], kind=args.kind),
         prior_std=args.prior_std,
+        anchors=anchors,
     )
 
     # Polish the mode of the ACTUAL log posterior with L-BFGS before Laplace
@@ -105,7 +121,8 @@ def main(argv=None):
         log_post, mode_params, jax.random.PRNGKey(0),
         config=hmc.HMCConfig(
             num_warmup=args.num_warmup, num_samples=args.num_samples,
-            num_leapfrog=args.num_leapfrog, initial_step_size=0.2,
+            num_leapfrog=args.num_leapfrog,
+            initial_step_size=args.initial_step_size,
         ),
         num_chains=args.num_chains,
         mesh=mesh,

@@ -53,10 +53,27 @@ def main(argv=None):
     p.add_argument("--n-train", type=int, default=4096)
     p.add_argument("--cg-iters", type=int, default=50)
     p.add_argument("--cg-batch", type=int, default=8)
+    p.add_argument("--force-cpu", action="store_true",
+                   help="run on the 8-device virtual CPU platform (the "
+                        "container's sitecustomize pins jax_platforms to "
+                        "the TPU backend, overriding JAX_PLATFORMS)")
     p.add_argument("--results-dir", default="artifacts/results")
     args, _cfg = parse_with_config(p, argv)
 
+    import os
+
+    if args.force_cpu:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian

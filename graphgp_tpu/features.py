@@ -125,7 +125,10 @@ class EllStepMatrices:
 # lane of a row into ONE group that sorts *last* — it is dropped by the
 # capacity clip for free, so the required capacity is the max number of
 # distinct columns with nonzero mass, not the raw distinct-position count.
-_DEAD_COL = jnp.int32(2**31 - 1)
+# np.int32, not jnp.int32: a module-level jnp constant creates a device
+# array at import time, initializing the default backend before any driver
+# can force a different platform (e.g. cli/multichip --force-cpu).
+_DEAD_COL = np.int32(2**31 - 1)
 
 
 def _consolidate_rows(

@@ -37,12 +37,14 @@ class HMCConfig:
     gamma: float = 0.05
     t0: float = 10.0
     kappa: float = 0.75
-    # diagonal mass-matrix adaptation (Stan-style): estimate per-dimension
-    # posterior variance over the first half of warmup (Welford), freeze it
-    # as the inverse mass for the rest of the run. Without it, unit mass
-    # forces one step size across dimensions of very different posterior
-    # scale (raw noise is data-pinned, β is broad) — measured split-R̂ up to
-    # 50 on raw_noise in the hmc driver; with it, chains mix.
+    # diagonal mass-matrix adaptation (Stan-style windowed): estimate
+    # per-dimension posterior variance (Welford) in warmup windows at 1/4,
+    # 1/2, 3/4 of warmup; each freeze re-centers dual averaging so the step
+    # size re-adapts under the new metric. Without it, unit mass forces one
+    # step size across dimensions of very different posterior scale (raw
+    # noise is data-pinned, β is broad) — measured split-R̂ up to 50 on
+    # raw_noise in the hmc driver; a single mid-warmup freeze still left
+    # R̂ ≈ 2 (the mass estimate came from collapsed-ε samples).
     adapt_mass: bool = True
 
 
@@ -51,6 +53,10 @@ class HMCResult(NamedTuple):
     accept_rate: jnp.ndarray  # (num_chains,)
     step_size: jnp.ndarray  # (num_chains,) adapted step sizes
     log_probs: jnp.ndarray  # (num_chains, num_samples)
+    # (num_chains, warmup+samples) per-iteration (step size, accept prob) —
+    # the adaptation trace, for mixing diagnostics
+    eps_trace: Optional[jnp.ndarray] = None
+    accept_trace: Optional[jnp.ndarray] = None
 
 
 def _flatten(params):
@@ -113,18 +119,27 @@ def sample(
         return log_prob_fn(_unflatten(q, spec))
 
     grad_fn = jax.grad(logp_flat)
-    mu = jnp.log(10.0 * config.initial_step_size)
 
     def one_chain(chain_key):
         k_init, k_run = jax.random.split(chain_key)
         q0 = flat0 + 0.01 * jax.random.normal(k_init, (dim,))
 
-        half_warmup = max(config.num_warmup // 2, 1)
         adapt_ok = config.adapt_mass and config.num_warmup >= 20
+        # Stan-style windowed warmup: mass re-estimation + dual-averaging
+        # reset at these iterations. A single half-warmup freeze bootstraps
+        # the mass from samples drawn at a COLLAPSED step size (anisotropy
+        # shrinks ε before any variance is visible — measured ε ≈ 3e-3 and
+        # split-R̂ up to 2.7 on the 400-node driver); alternating
+        # (ε-adapt → mass-freeze → ε re-adapt) windows let each round's mass
+        # open up the next round's step size.
+        wu = config.num_warmup
+        boundaries = (
+            [wu // 4, wu // 2, (3 * wu) // 4] if adapt_ok else []
+        )
 
         def hmc_step(state, step_input):
-            (q, log_eps, h_bar, log_eps_bar, accepts, it,
-             w_mean, w_m2, inv_mass) = state
+            (q, log_eps, h_bar, log_eps_bar, mu, accepts, it, wt,
+             w_mean, w_m2, w_cnt, inv_mass) = state
             step_key, is_warmup = step_input
             k_mom, k_acc = jax.random.split(step_key)
             eps = jnp.exp(log_eps)
@@ -140,33 +155,44 @@ def sample(
             accept = jnp.log(jax.random.uniform(k_acc, ())) < log_accept
             q = jnp.where(accept, q_new, q)
 
-            # Welford accumulation of posterior mean/variance over the first
-            # warmup half; frozen into the inverse mass at half_warmup.
-            # Gated on adapt_ok (computed per-run): with num_warmup below a
-            # useful minimum the "estimate" would come from ~no samples and
-            # the freeze could even fire during sampling (num_warmup=0 made
-            # half_warmup=1 and rescaled momenta mid-run) — keep unit mass.
+            # Welford accumulation since the last window boundary.
             if adapt_ok:
-                in_window = is_warmup & (it < half_warmup)
-                cnt = jnp.minimum(it, half_warmup) + 1.0
+                w_cnt_new = w_cnt + 1.0
                 delta = q - w_mean
-                w_mean_new = w_mean + delta / cnt
+                w_mean_new = w_mean + delta / w_cnt_new
                 w_m2_new = w_m2 + delta * (q - w_mean_new)
-                w_mean = jnp.where(in_window, w_mean_new, w_mean)
-                w_m2 = jnp.where(in_window, w_m2_new, w_m2)
-                at_switch = is_warmup & (it == half_warmup - 1)
-                est_var = w_m2 / jnp.maximum(cnt - 1.0, 1.0)
+                w_mean = jnp.where(is_warmup, w_mean_new, w_mean)
+                w_m2 = jnp.where(is_warmup, w_m2_new, w_m2)
+                w_cnt = jnp.where(is_warmup, w_cnt_new, w_cnt)
+                at_switch = is_warmup & jnp.any(
+                    jnp.stack([it == b - 1 for b in boundaries])
+                )
+                est_var = w_m2 / jnp.maximum(w_cnt - 1.0, 1.0)
                 # regularize toward unit (Stan's shrinkage) and floor
-                est_var = 0.9 * est_var + 0.1
-                inv_mass = jnp.where(at_switch, jnp.maximum(est_var, 1e-4), inv_mass)
+                est_var = jnp.maximum(0.9 * est_var + 0.1, 1e-4)
+                inv_mass = jnp.where(at_switch, est_var, inv_mass)
+                # window reset: restart Welford AND dual averaging around the
+                # current step size (the new mass changes what ε means)
+                w_mean = jnp.where(at_switch, jnp.zeros_like(w_mean), w_mean)
+                w_m2 = jnp.where(at_switch, jnp.zeros_like(w_m2), w_m2)
+                w_cnt = jnp.where(at_switch, 0.0, w_cnt)
+                h_bar = jnp.where(at_switch, 0.0, h_bar)
+                mu = jnp.where(at_switch, jnp.log(10.0) + log_eps, mu)
+                wt = jnp.where(at_switch, 0.0, wt)
 
-            # dual averaging (only during warmup)
+            # dual averaging (only during warmup; t counts within-window so
+            # each mass freeze re-adapts ε, but the ε̄ average is weighted by
+            # the GLOBAL iteration — a per-window reset of the averaging
+            # weight made the final step size hostage to the last window's
+            # realization, and a late divergence streak (heavy posterior
+            # tails blow up leapfrog at moderate ε) collapsed it to 1e-3
+            # with on-target accept: the round-3 published non-mixing)
             a_prob = jnp.exp(log_accept)
-            t = it + 1.0
+            t = wt + 1.0
             eta = 1.0 / (t + config.t0)
             h_bar_new = (1 - eta) * h_bar + eta * (config.target_accept - a_prob)
             log_eps_new = mu - jnp.sqrt(t) / config.gamma * h_bar_new
-            x_eta = t ** (-config.kappa)
+            x_eta = (it + 1.0) ** (-config.kappa)
             log_eps_bar_new = x_eta * log_eps_new + (1 - x_eta) * log_eps_bar
 
             log_eps = jnp.where(is_warmup, log_eps_new, log_eps_bar)
@@ -174,9 +200,9 @@ def sample(
             log_eps_bar = jnp.where(is_warmup, log_eps_bar_new, log_eps_bar)
             accepts = accepts + jnp.where(is_warmup, 0.0, accept.astype(jnp.float32))
             return (
-                q, log_eps, h_bar, log_eps_bar, accepts, it + 1.0,
-                w_mean, w_m2, inv_mass,
-            ), (q, logp_flat(q))
+                q, log_eps, h_bar, log_eps_bar, mu, accepts, it + 1.0,
+                wt + 1.0, w_mean, w_m2, w_cnt, inv_mass,
+            ), (q, logp_flat(q), jnp.exp(log_eps), a_prob)
 
         total = config.num_warmup + config.num_samples
         keys = jax.random.split(k_run, total)
@@ -186,23 +212,26 @@ def sample(
             jnp.log(config.initial_step_size),
             jnp.zeros(()),
             jnp.log(config.initial_step_size),
+            jnp.log(10.0 * config.initial_step_size),
+            jnp.zeros(()),
             jnp.zeros(()),
             jnp.zeros(()),
             jnp.zeros((dim,)),
             jnp.zeros((dim,)),
+            jnp.zeros(()),
             jnp.ones((dim,)),
         )
-        (qf, log_eps, _, log_eps_bar, accepts, _, _, _, _), (qs, lps) = jax.lax.scan(
+        (qf, log_eps, _, log_eps_bar, _, accepts, *_), (qs, lps, eps_tr, a_tr) = jax.lax.scan(
             hmc_step, init_state, (keys, warm)
         )
         qs = qs[config.num_warmup :]
         lps = lps[config.num_warmup :]
-        return qs, lps, accepts / config.num_samples, jnp.exp(log_eps_bar)
+        return qs, lps, accepts / config.num_samples, jnp.exp(log_eps_bar), eps_tr, a_tr
 
     run_chains = jax.jit(jax.vmap(one_chain))
     if mesh is None:
         chain_keys = jax.random.split(key, num_chains)
-        qs, lps, acc, eps = run_chains(chain_keys)
+        qs, lps, acc, eps, eps_tr, a_tr = run_chains(chain_keys)
     else:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -211,13 +240,15 @@ def sample(
         chain_keys = jax.random.split(key, padded)
         sharding = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
         chain_keys = jax.device_put(chain_keys, sharding)
-        qs, lps, acc, eps = run_chains(chain_keys)
+        qs, lps, acc, eps, eps_tr, a_tr = run_chains(chain_keys)
         if padded != num_chains:
-            qs, lps, acc, eps = (
-                qs[:num_chains], lps[:num_chains], acc[:num_chains], eps[:num_chains]
+            qs, lps, acc, eps, eps_tr, a_tr = (
+                qs[:num_chains], lps[:num_chains], acc[:num_chains],
+                eps[:num_chains], eps_tr[:num_chains], a_tr[:num_chains]
             )
     samples = jax.vmap(jax.vmap(lambda q: _unflatten(q, spec)))(qs)
-    return HMCResult(samples=samples, accept_rate=acc, step_size=eps, log_probs=lps)
+    return HMCResult(samples=samples, accept_rate=acc, step_size=eps,
+                     log_probs=lps, eps_trace=eps_tr, accept_trace=a_tr)
 
 
 def refine_mode(
@@ -289,8 +320,20 @@ def sample_laplace(
     # raw_noise dimension stopped mixing (published split-R̂ = 50). Bounding
     # the condition number at 1e4 caps the scale spread at 100×, which the
     # mass-matrix adaptation then finishes off.
+    evals_raw = evals
     evals = jnp.maximum(evals, jnp.maximum(1e-4 * jnp.max(evals), 1e-10))
     sqrt_cov = evecs * (1.0 / jnp.sqrt(evals))[None, :]  # Σ^{1/2} (sym-free form)
+    import os as _os
+
+    if _os.environ.get("GRAPHGP_HMC_DEBUG"):
+        import numpy as _np
+
+        print(
+            "sample_laplace: precision eigvals (raw)",
+            _np.asarray(evals_raw),
+            "clipped", _np.asarray(evals),
+            flush=True,
+        )
 
     def log_prob_z(zp):
         return logp_flat(flat0 + sqrt_cov @ zp["z"])
@@ -311,6 +354,8 @@ def sample_laplace(
         accept_rate=res.accept_rate,
         step_size=res.step_size,
         log_probs=res.log_probs,
+        eps_trace=res.eps_trace,
+        accept_trace=res.accept_trace,
     )
 
 
@@ -339,14 +384,31 @@ def split_rhat_tree(samples: Dict) -> Dict:
 def make_gp_log_posterior(
     mll_fn: Callable[[Dict], jnp.ndarray],
     prior_std: float = 2.0,
+    anchors: Optional[Dict[str, Tuple[float, float]]] = None,
 ) -> LogProbFn:
-    """Posterior = mll + iid Gaussian prior over all (unconstrained) params."""
+    """Posterior = mll + iid Gaussian prior over all (unconstrained) params.
+
+    ``anchors``: optional {param_name: (center, std)} extra Gaussian factors
+    on specific raw parameters. The GP noise direction has a likelihood
+    PLATEAU as raw_noise → −∞ (softplus saturates, gradients vanish):
+    chains that wander onto it freeze — leapfrog diverges there at any
+    useful ε, collapsing the adapted step size for the whole run. A weak
+    anchor at the ML-II noise (the same modeling choice as the reference's
+    LogNormal prior on likelihood variance, ablation_study.py:66-74)
+    removes the plateau without informing the bulk: the likelihood pins the
+    noise far harder than the anchor does."""
+
+    anchors = anchors or {}
 
     def log_prob(params):
         prior = sum(
             -0.5 * jnp.sum((leaf / prior_std) ** 2)
             for leaf in jax.tree_util.tree_leaves(params)
         )
+        for name, (center, std) in anchors.items():
+            prior = prior - 0.5 * jnp.sum(
+                ((params[name] - center) / std) ** 2
+            )
         return mll_fn(params) + prior
 
     return log_prob

@@ -37,19 +37,35 @@ def init_params(
         params["modulator"] = jax.random.normal(
             key, (max_walk_length,), dtype=jnp.float32
         )
-    elif kind == "diffusion":
+    elif kind in ("diffusion", "exact_diffusion"):
         params["raw_beta"] = inv_softplus(jnp.asarray(beta, jnp.float32))
         params["raw_sigma_f"] = inv_softplus(jnp.asarray(sigma_f, jnp.float32))
     else:
-        raise ValueError(f"unknown kernel kind {kind!r} (want 'free'|'diffusion')")
+        raise ValueError(
+            f"unknown kernel kind {kind!r} "
+            "(want 'free'|'diffusion'|'exact_diffusion')"
+        )
     return params
 
 
 def modulator(kind: str, params: Dict[str, jnp.ndarray], max_walk_length: int):
     if kind == "free":
         return params["modulator"]
+    if kind == "exact_diffusion":
+        # Spectral layouts (gp.spectral.SpectralDiffusionFeatures) interpret
+        # the "modulator" as the raw (β, σ_f) pair and apply exp(-βλ/2) on
+        # the eigenvalues themselves — the exact kernel, no Taylor basis.
+        return jnp.stack(
+            [
+                jax.nn.softplus(params["raw_beta"]),
+                jax.nn.softplus(params["raw_sigma_f"]),
+            ]
+        )
     if kind != "diffusion":
-        raise ValueError(f"unknown kernel kind {kind!r} (want 'free'|'diffusion')")
+        raise ValueError(
+            f"unknown kernel kind {kind!r} "
+            "(want 'free'|'diffusion'|'exact_diffusion')"
+        )
     beta = jax.nn.softplus(params["raw_beta"])
     sigma_f = jax.nn.softplus(params["raw_sigma_f"])
     return sigma_f * diffusion_modulator(max_walk_length, beta)

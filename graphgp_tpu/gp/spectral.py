@@ -58,6 +58,55 @@ def _spectral_phi(eig: Eigenbasis, params: Dict) -> jnp.ndarray:
     return eig.evecs * (sigma_f * jnp.exp(-0.5 * beta * eig.evals))[None, :]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpectralDiffusionFeatures:
+    """Features-protocol adapter for the EXACT diffusion kernel: Φ(β,σ_f) =
+    Q diag(σ_f e^{-βλ/2}), so K = ΦΦᵀ = σ_f² expm(-βL) exactly with β, σ_f
+    trainable. Lets the SVGP stack (gp/svgp.py) run the reference's
+    exact-kernel Cora variant (classification_multiple_diff.ipynb /
+    gpflow_kernels/diffusion_kernel_exact.py:6-46): use with
+    ``kind='exact_diffusion'``, whose "modulator" is the (β, σ_f) pair
+    (gp/params.modulator) applied here on the eigenvalues — no Taylor
+    truncation anywhere."""
+
+    eig: Eigenbasis
+
+    @property
+    def num_nodes(self) -> int:
+        return self.eig.evecs.shape[0]
+
+    @property
+    def num_target_nodes(self) -> int:
+        return self.eig.evecs.shape[0]
+
+    @property
+    def max_walk_length(self) -> int:
+        # length of the (β, σ_f) "modulator" vector for this kind
+        return 2
+
+    def _phi(self, f: jnp.ndarray) -> jnp.ndarray:
+        beta, sigma_f = f[0], f[1]
+        return self.eig.evecs * (
+            sigma_f * jnp.exp(-0.5 * beta * self.eig.evals)
+        )[None, :]
+
+    def rows(self, f, idx):
+        return self._phi(f)[idx]
+
+    def matvec(self, f, v):
+        return self._phi(f) @ v
+
+    def rmatvec(self, f, v):
+        return self._phi(f).T @ v
+
+    def matvec_bm(self, f, v):
+        return v @ self._phi(f).T
+
+    def rmatvec_bm(self, f, v):
+        return v @ self._phi(f)
+
+
 @jax.jit
 def mll(eig: Eigenbasis, params: Dict, train_idx: jnp.ndarray, y: jnp.ndarray):
     phi_t = _spectral_phi(eig, params)[train_idx]

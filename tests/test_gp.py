@@ -380,3 +380,42 @@ def test_batched_cg_batch_major_matches(problem):
     ).x
     np.testing.assert_allclose(np.asarray(row), np.asarray(col).T,
                                atol=1e-3, rtol=1e-3)
+
+
+def test_svgp_exact_diffusion_kind(problem):
+    """The exact-kernel SVGP arm (SpectralDiffusionFeatures +
+    kind='exact_diffusion') classifies the same toy labeling: K = ΦΦᵀ =
+    σ_f² expm(-βL) exactly, β/σ_f trainable through the ELBO (reference
+    classification_multiple_diff.ipynb variant)."""
+    from graphgp_tpu.gp import spectral
+
+    p = problem
+    feats = spectral.SpectralDiffusionFeatures(spectral.eigenbasis(p["adj"]))
+    n = feats.num_nodes
+    # exactness: Φ Φᵀ == σ_f² expm(-βL) for the init params
+    params = P.init_params("exact_diffusion", 2, jax.random.PRNGKey(0))
+    f = P.modulator("exact_diffusion", params, 2)
+    phi = feats.rows(f, jnp.arange(n, dtype=jnp.int32))
+    k = np.asarray(phi @ phi.T)
+    beta = float(jax.nn.softplus(params["raw_beta"]))
+    sf = float(jax.nn.softplus(params["raw_sigma_f"]))
+    k_true = sf**2 * np.asarray(diffusion_kernel(p["adj"], beta=beta))
+    np.testing.assert_allclose(k, k_true, atol=5e-4)
+
+    labels = jnp.asarray((np.arange(n) % 60 < 30).astype(np.int32))
+    train_idx = jnp.asarray(np.arange(0, n, 2), jnp.int32)
+    test_idx = jnp.asarray(np.arange(1, n, 2), jnp.int32)
+    inducing_idx = train_idx[::2]
+    res = svgp.fit(
+        feats, inducing_idx, train_idx, labels[train_idx],
+        num_latent=2, kind="exact_diffusion", num_steps=300,
+        learning_rate=0.02,
+    )
+    probs = svgp.predict_class_probs(
+        feats, res.params, inducing_idx, test_idx, jax.random.PRNGKey(0),
+        kind="exact_diffusion",
+    )
+    acc = float(
+        jnp.mean((jnp.argmax(probs, -1) == labels[test_idx]).astype(jnp.float32))
+    )
+    assert acc > 0.8
