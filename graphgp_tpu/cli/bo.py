@@ -118,6 +118,8 @@ def _run_isolated(args, targets, seeds):
                     cmd += [flag, str(getattr(args, attr))]
                 if args.gaussianize:
                     cmd.append("--gaussianize")
+                if args.force_cpu:
+                    cmd.append("--force-cpu")
                 rows, err_text = None, ""
                 for attempt in range(2):
                     tag = "" if attempt == 0 else " [retry]"
@@ -229,10 +231,20 @@ def main(argv=None):
     p.add_argument("--gp-retrain-interval", type=int, default=10)
     p.add_argument("--cg-tol", type=float, default=1e-2)
     p.add_argument("--gaussianize", action="store_true")
+    p.add_argument("--force-cpu", action="store_true",
+                   help="run on the host CPU platform (fallback for "
+                        "TPU-runtime instability; the container's "
+                        "sitecustomize pins the TPU backend over "
+                        "JAX_PLATFORMS)")
     p.add_argument("--results-dir", default="artifacts/results")
     p.add_argument("--cache-dir", default="artifacts/step_matrices")
     p.add_argument("--seed", type=int, default=42)
     args, _cfg = parse_with_config(p, argv)
+
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from .. import WalkConfig
     from ..bo import run_optimization

@@ -133,10 +133,15 @@ def main(argv=None):
                 max_walk_length=args.max_walk_length,
             )
 
+        # Fixed parameter-init key across seeds (the reference seeds its
+        # modulator init with np.random.seed(42) for EVERY run,
+        # general_kernel_fast_grf.py:33 — per-seed random inits occasionally
+        # land in a bad ELBO basin; measured 0.31 accuracy on one seed);
+        # walks and splits still vary per seed.
         res = svgp.fit(
             feats, inducing, tr, y[tr],
             num_latent=num_classes, kind=args.kernel_kind,
-            key=jax.random.PRNGKey(seed),
+            key=jax.random.PRNGKey(42),
             learning_rate=args.learning_rate, num_steps=args.num_steps,
         )
         probs = svgp.predict_class_probs(

@@ -152,8 +152,36 @@ def add_config_flag(parser) -> None:
     )
 
 
+def enable_compilation_cache(path=None) -> None:
+    """Persistent XLA compilation cache shared across processes.
+
+    Cold-start compiles dominate driver startup at the flagship shapes
+    (measured: the N=1e6 ELL→stencil conversion is ~39 s of compile and
+    ~4 s of work; verified the cache works through the remote TPU compile:
+    22.5 s → 0.29 s across processes). Opt out with
+    GRAPHGP_NO_COMPILE_CACHE=1; relocate with GRAPHGP_COMPILE_CACHE=path.
+    """
+    import os
+
+    if os.environ.get("GRAPHGP_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = path or os.environ.get(
+            "GRAPHGP_COMPILE_CACHE", "artifacts/jax_cache"
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # never let cache plumbing break a driver
+
+
 def parse_with_config(parser, argv):
-    """Two-stage parse: peek at --config, fold it into defaults, re-parse."""
+    """Two-stage parse: peek at --config, fold it into defaults, re-parse.
+    Also enables the persistent compilation cache for every driver."""
+    enable_compilation_cache()
     pre_args, _ = parser.parse_known_args(argv)
     cfg = None
     if getattr(pre_args, "config", None):
