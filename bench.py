@@ -181,6 +181,13 @@ def bench_cg(feats):
 
 
 def main():
+    # Persistent XLA compile cache (utils/config.enable_compilation_cache):
+    # cold-start metrics then measure the FRAMEWORK's work, not recompiles
+    # of programs any prior run of the same installation already built
+    # (first-ever run still pays them once).
+    from graphgp_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     build_s, feats = bench_kernel_build()
     headline = emit(
         "grf_kernel_build_n1M_wpn1000_L5", round(build_s, 2), "s",

@@ -123,6 +123,32 @@ def main(argv=None):
                     walks_per_node=wpn, p_halt=args.p_halt,
                     max_walk_length=args.max_walk_length, ablation=ablation,
                 )
+                # Kernel-space estimator quality, free of GP-fit effects:
+                # relative Frobenius error of K̂ = ΦΦᵀ under the TRUE
+                # diffusion modulator vs amplitude·expm(-βL) (reference
+                # compute_fro, utils.py:32-38). The principled estimator is
+                # unbiased for this target (error ↓ with wpn); the ad-hoc
+                # load/adjacency walk estimates a different matrix family
+                # entirely (error plateaus) — the paper's actual claim,
+                # which regression RMSE can mask (a well-optimized ad-hoc
+                # model is still a competitive smoother, and the reference's
+                # published ad-hoc RMSE 0.5726 ≈ its predict-zero baseline
+                # 0.5862 — a degenerate fit, not an estimator measurement).
+                from ..modulators import diffusion_modulator
+
+                f_mod = np.sqrt(args.amplitude) * np.asarray(
+                    diffusion_modulator(args.max_walk_length, args.beta)
+                )
+                phi_hat = np.asarray(
+                    feats.rows(jnp.asarray(f_mod, jnp.float32),
+                               jnp.arange(n, dtype=jnp.int32))
+                )
+                k_hat = phi_hat @ phi_hat.T
+                fro_rel = float(
+                    np.linalg.norm(k_hat - k_true)
+                    / np.linalg.norm(k_true)
+                )
+
                 # Protocol parity (reference gp_inference, ablation_study.py:
                 # 59-81): L-BFGS to convergence, noise variance initialized at
                 # the true value with a weak LogNormal prior around it.
@@ -148,12 +174,14 @@ def main(argv=None):
                     "rmse_latent": float(exact.rmse(post, jnp.asarray(f_true)[te])),
                     "nlpd": float(exact.nlpd(post, res.params, y[te])),
                     "learned_noise_var": float(P.noise_variance(res.params)),
+                    "kernel_fro_rel": fro_rel,
                     "final_loss": float(res.losses[-1]),
                 }
                 records.append(rec)
                 print(
                     f"seed={seed} wpn={wpn} {rec['mode']:>10}: "
-                    f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f}"
+                    f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f} "
+                    f"kfro={rec['kernel_fro_rel']:.3f}"
                 )
 
     path = save_results(records, args.results_dir, "ablation", config=vars(args))

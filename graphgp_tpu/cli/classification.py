@@ -64,6 +64,12 @@ def main(argv=None):
     p.add_argument("--train-frac", type=float, default=0.8)
     p.add_argument("--small-train", type=int, default=0,
                    help="if >0, use this many train nodes (the 140-train 'small' split)")
+    p.add_argument("--num-test", type=int, default=0,
+                   help="if >0, test on this many non-train nodes (the "
+                        "reference small/diff protocols test on 1000)")
+    p.add_argument("--num-inducing", type=int, default=0,
+                   help="inducing point count (default: train/2; the "
+                        "reference small/diff protocols use M=50)")
     p.add_argument("--walks-per-node", type=int, default=1024)
     p.add_argument("--p-halt", type=float, default=0.1)
     p.add_argument("--max-walk-length", type=int, default=5)
@@ -111,11 +117,18 @@ def main(argv=None):
             tr_np = np.sort(perm[:n_tr])
             te_np = np.sort(perm[n_tr:])
 
+        if args.num_test:
+            pool = np.setdiff1d(np.arange(n), tr_np)
+            rng_te = np.random.default_rng(1000 + seed)
+            te_np = np.sort(
+                rng_te.choice(pool, min(args.num_test, pool.size), replace=False)
+            )
         tr = jnp.asarray(tr_np, jnp.int32)
         te = jnp.asarray(te_np, jnp.int32)
         y = jnp.asarray(labels, jnp.int32)
-        # inducing points = half the train indices (reference cell 7)
-        inducing = tr[:: 2]
+        # inducing points: train/2 by default (reference full protocol,
+        # cell 7); the small/diff protocols use M=50 (--num-inducing)
+        inducing = tr[: args.num_inducing] if args.num_inducing else tr[::2]
 
         if args.kernel_kind == "exact_diffusion":
             # exact-kernel arm: one eigh per seed-independent graph; rebuilt
@@ -133,22 +146,29 @@ def main(argv=None):
                 max_walk_length=args.max_walk_length,
             )
 
-        # Fixed parameter-init key across seeds (the reference seeds its
-        # modulator init with np.random.seed(42) for EVERY run,
-        # general_kernel_fast_grf.py:33 — per-seed random inits occasionally
-        # land in a bad ELBO basin; measured 0.31 accuracy on one seed);
-        # walks and splits still vary per seed.
-        res = svgp.fit(
-            feats, inducing, tr, y[tr],
-            num_latent=num_classes, kind=args.kernel_kind,
-            key=jax.random.PRNGKey(42),
-            learning_rate=args.learning_rate, num_steps=args.num_steps,
-        )
+        # Two-restart fit (init keys 42 and 1000+seed), keep the better
+        # final ELBO: free-modulator inits occasionally land in a bad basin
+        # (measured 0.31 accuracy on one seed with a single random init;
+        # a single FIXED key is no safer — key 42 collapses every seed).
+        res = None
+        for init_key in (42, 1000 + seed):
+            r = svgp.fit(
+                feats, inducing, tr, y[tr],
+                num_latent=num_classes, kind=args.kernel_kind,
+                key=jax.random.PRNGKey(init_key),
+                learning_rate=args.learning_rate, num_steps=args.num_steps,
+            )
+            if res is None or float(r.losses[-1]) < float(res.losses[-1]):
+                res = r
         probs = svgp.predict_class_probs(
             feats, res.params, inducing, te, jax.random.PRNGKey(seed),
             kind=args.kernel_kind,
         )
-        pred = jnp.argmax(probs, -1)
+        # deterministic mean-argmax predictions (reference predict_y argmax;
+        # see svgp.predict_class)
+        pred = svgp.predict_class(
+            feats, res.params, inducing, te, kind=args.kernel_kind
+        )
         acc = float(jnp.mean((pred == y[te]).astype(jnp.float32)))
         true_probs = np.asarray(probs)[np.arange(te.shape[0]), np.asarray(y[te])]
         nll = float(-np.log(np.maximum(true_probs, 1e-12)).mean())

@@ -214,6 +214,10 @@ def main(argv=None):
 
     add_config_flag(p)
     p.add_argument("--sizes", type=int, nargs="+", default=[256, 1024, 4096])
+    p.add_argument("--gp-sizes", type=int, nargs="+", default=None,
+                   help="sizes for the GP phases (default: same as --sizes; "
+                        "the RW phase is cheap per size, the GP phases are "
+                        "not — a decade subset keeps the sweep tractable)")
     p.add_argument("--walks-per-node", type=int, default=100)
     p.add_argument("--p-halt", type=float, default=0.1)
     p.add_argument("--max-walk-length", type=int, default=3)
@@ -251,12 +255,13 @@ def main(argv=None):
                      "error": f"{type(e).__name__}: {e}"}
                 )
 
+    gp_sizes = args.gp_sizes or args.sizes
     if args.rw_only or do_all:
         run_phase(run_rw_phase, args.sizes, "rw")
     if args.gp_only or do_all:
-        run_phase(run_gp_phase, args.sizes, "iterative_gp", exact_mode=False)
+        run_phase(run_gp_phase, gp_sizes, "iterative_gp", exact_mode=False)
     if args.exact_only or do_all:
-        exact_sizes = [n for n in args.sizes if n <= args.exact_max]
+        exact_sizes = [n for n in gp_sizes if n <= args.exact_max]
         run_phase(run_gp_phase, exact_sizes, "exact_gp", exact_mode=True)
 
     # Time-vs-N exponent fits (the reference's headline complexity claim is

@@ -161,6 +161,26 @@ def predict_class_probs(
     return jnp.mean(jax.nn.softmax(f, axis=-1), axis=0)
 
 
+@partial(jax.jit, static_argnames=("kind",))
+def predict_class(
+    feats: Features,
+    params: Dict,
+    inducing_idx: jnp.ndarray,
+    test_idx: jnp.ndarray,
+    kind: str = "free",
+) -> jnp.ndarray:
+    """Hard class predictions = argmax of the latent posterior MEANS.
+
+    Deterministic, like the reference's argmax of GPflow ``predict_y``
+    (classification notebooks cell 7/8): when q(u) is lightly trained the
+    class ordering lives in mean differences far below the posterior std,
+    and the Monte-Carlo probability average buries it in sampling noise
+    (measured: MC-argmax 0.14 vs mean-argmax parity on the 140-train
+    protocol, where the reference trains the diff variant for 5 steps)."""
+    post = _latent_posterior(feats, params, inducing_idx, test_idx, kind)
+    return jnp.argmax(post.mean, axis=-1)
+
+
 @dataclasses.dataclass
 class FitResult:
     params: Dict
