@@ -233,14 +233,16 @@ def test_bo_grf_thompson_compiles_once():
                                       num_lanczos_iters=5),
         observation_capacity=32,
     )
-    fit_before = iterative._fit_run._cache_size()
+    # fit() host-loops a single jitted step — one compile serves every
+    # retrain of a BO run (padded fixed-capacity observations)
+    fit_before = iterative._fit_step._cache_size()
     pred_before = iterative.pathwise_predict._cache_size()
     res = run_optimization(
         algo, d["y_observed"], n_iterations=6, initial_points=5,
         batch_size=2, seed=0,
     )
     assert len(res.records) == 6
-    assert iterative._fit_run._cache_size() - fit_before == 1
+    assert iterative._fit_step._cache_size() - fit_before == 1
     assert iterative.pathwise_predict._cache_size() - pred_before == 1
 
 
