@@ -46,7 +46,8 @@ run classification_small 3600 graphgp_tpu.cli.classification \
 # full reference span 2^5..2^20 (run_scaling_experiment.py:62-77): dense-vs-
 # sparse RW at 2^5..2^10, iterative GP through the 1e6 flagship, exact <=1024
 run scaling        10800 graphgp_tpu.cli.scaling --sizes 32 64 128 256 512 1024 \
-  2048 4096 8192 16384 32768 65536 131072 262144 524288 1048576
+  2048 4096 8192 16384 32768 65536 131072 262144 524288 1048576 \
+  --gp-sizes 32 64 128 256 512 1024 4096 16384 65536 262144 1048576
 run hmc             3600 graphgp_tpu.cli.hmc
 run bo_small        5400 graphgp_tpu.cli.bo --graph-type grid --n-nodes 4096 \
   --iterations 30 --runs 3 --walks-per-node 500

@@ -79,9 +79,20 @@ def main(argv=None):
                         "the reference's exact sigma_f^2 expm(-beta L) SVGP "
                         "variant (classification_multiple_diff.ipynb) via "
                         "the spectral adapter")
+    p.add_argument("--likelihood", default="robustmax",
+                   choices=["robustmax", "softmax"],
+                   help="robustmax = the reference's MultiClass/RobustMax "
+                        "likelihood with analytic GH-quadrature expected "
+                        "log-lik (classification notebooks cell 7/8); "
+                        "softmax = MC softmax ELBO")
     p.add_argument("--learning-rate", type=float, default=3e-3)
     p.add_argument("--num-steps", type=int, default=1000)
     p.add_argument("--seeds", type=int, default=5)
+    p.add_argument("--resplit-per-seed", action="store_true",
+                   help="draw a fresh train/test split per seed (default: "
+                        "one fixed split shared by all seeds, the reference "
+                        "protocol — np.random.seed(1) before the split, "
+                        "cell 4 of every classification notebook)")
     p.add_argument("--results-dir", default="artifacts/results")
     args, _cfg = parse_with_config(p, argv)
 
@@ -97,10 +108,11 @@ def main(argv=None):
 
     records: List[Dict] = []
     for seed in range(args.seeds):
+        split_seed = seed if args.resplit_per_seed else 1
         if args.cora_dir:
             from ..data.database import load_cora
 
-            adj, labels, tr_np, te_np = load_cora(args.cora_dir, seed=seed)
+            adj, labels, tr_np, te_np = load_cora(args.cora_dir, seed=split_seed)
             n = adj.shape[0]
             num_classes = int(labels.max()) + 1
             if args.small_train:
@@ -119,16 +131,25 @@ def main(argv=None):
 
         if args.num_test:
             pool = np.setdiff1d(np.arange(n), tr_np)
-            rng_te = np.random.default_rng(1000 + seed)
+            rng_te = np.random.default_rng(1000 + split_seed)
             te_np = np.sort(
                 rng_te.choice(pool, min(args.num_test, pool.size), replace=False)
             )
         tr = jnp.asarray(tr_np, jnp.int32)
         te = jnp.asarray(te_np, jnp.int32)
         y = jnp.asarray(labels, jnp.int32)
-        # inducing points: train/2 by default (reference full protocol,
-        # cell 7); the small/diff protocols use M=50 (--num-inducing)
-        inducing = tr[: args.num_inducing] if args.num_inducing else tr[::2]
+        # Inducing points: a per-seed random subset of the TRAIN nodes, the
+        # reference's Z = x_train[np.random.choice(train_num, M)] under
+        # np.random.seed(seed) (cell 5+7) — M = train/2 on the full split,
+        # M=50 on the small split (--num-inducing). The inducing draw is the
+        # main seed-to-seed variation in the reference protocol (kernel walk
+        # seed and modulator init are both fixed at 42).
+        m_ind = args.num_inducing or max(1, tr_np.size // 2)
+        rng_ind = np.random.default_rng(seed)
+        inducing = jnp.asarray(
+            np.sort(rng_ind.choice(tr_np, min(m_ind, tr_np.size), replace=False)),
+            jnp.int32,
+        )
 
         if args.kernel_kind == "exact_diffusion":
             # exact-kernel arm: one eigh per seed-independent graph; rebuilt
@@ -155,6 +176,7 @@ def main(argv=None):
             r = svgp.fit(
                 feats, inducing, tr, y[tr],
                 num_latent=num_classes, kind=args.kernel_kind,
+                likelihood=args.likelihood,
                 key=jax.random.PRNGKey(init_key),
                 learning_rate=args.learning_rate, num_steps=args.num_steps,
             )
@@ -162,12 +184,13 @@ def main(argv=None):
                 res = r
         probs = svgp.predict_class_probs(
             feats, res.params, inducing, te, jax.random.PRNGKey(seed),
-            kind=args.kernel_kind,
+            kind=args.kernel_kind, likelihood=args.likelihood,
         )
-        # deterministic mean-argmax predictions (reference predict_y argmax;
+        # deterministic predictions (reference predict_y argmax;
         # see svgp.predict_class)
         pred = svgp.predict_class(
-            feats, res.params, inducing, te, kind=args.kernel_kind
+            feats, res.params, inducing, te, kind=args.kernel_kind,
+            likelihood=args.likelihood,
         )
         acc = float(jnp.mean((pred == y[te]).astype(jnp.float32)))
         true_probs = np.asarray(probs)[np.arange(te.shape[0]), np.asarray(y[te])]
@@ -176,7 +199,8 @@ def main(argv=None):
             "seed": seed, "accuracy": acc, "test_nll": nll,
             "final_elbo": -float(res.losses[-1]),
             "n_train": int(tr.shape[0]), "n_test": int(te.shape[0]),
-            "kernel": args.kernel_kind,
+            "kernel": args.kernel_kind, "likelihood": args.likelihood,
+            "num_inducing": int(inducing.shape[0]),
         }
         records.append(rec)
         print(

@@ -122,7 +122,7 @@ def main(argv=None):
     )
 
     records: List[Dict] = []
-    base_walk = base_cg = None
+    base_walk = base_cg = base_nd = None
     for nd in devices:
         mesh = make_mesh(nd)
 
@@ -147,9 +147,12 @@ def main(argv=None):
         cg_iters_per_s = args.cg_iters / cg_s
 
         if base_walk is None:
-            base_walk, base_cg = walks_per_s, cg_iters_per_s
-        eff_walk = walks_per_s / (nd * base_walk)
-        eff_cg = cg_iters_per_s / (nd * base_cg)
+            base_walk, base_cg, base_nd = walks_per_s, cg_iters_per_s, nd
+        # Per-device efficiency relative to the first swept device count:
+        # eff = (tp / base_tp) * (base_nd / nd) — exact even when the sweep
+        # does not include nd=1 (perfect scaling always reports 1.0).
+        eff_walk = (walks_per_s / base_walk) * (base_nd / nd)
+        eff_cg = (cg_iters_per_s / base_cg) * (base_nd / nd)
         records.append({
             "platform": platform,
             "n_devices": nd,

@@ -99,9 +99,17 @@ class GraphDataLoader:
             data_root = os.environ.get("GRAPHGP_DATA_ROOT")
         if data_root is None:
             data_root = next(
-                (r for r in self._DEFAULT_ROOTS if os.path.isdir(r)),
-                self._DEFAULT_ROOTS[0],
+                (r for r in self._DEFAULT_ROOTS if os.path.isdir(r)), None
             )
+            if data_root is None:
+                raise FileNotFoundError(
+                    "no dataset root found: none of "
+                    f"{list(self._DEFAULT_ROOTS)} exists. Set the "
+                    "GRAPHGP_DATA_ROOT environment variable (or pass "
+                    "data_root=) to the directory holding the raw "
+                    "dataset tree (social_networks/, wind_interpolation/, "
+                    "synthetic/)."
+                )
         self.data_root = data_root
         self.cache_dir = cache_dir or "processed_data"
         self._memory_cache: Dict[str, Dict] = {}

@@ -689,19 +689,40 @@ def stencil_phi_rmatvec_bm(
 #     d/dv [V Φ] · G  = G Φᵀ     (the matvec — ELL gather, scatter-free)
 #     d/df_l        = ⟨A, B M_lᵀ⟩ per step (one gather+einsum contraction)
 #
-# Step-matrix cotangents are structural zeros (float0 for int/bool leaves,
-# zeros_like for vals — DCE'd by XLA: mll_cg wraps feats in stop_gradient).
+# Step matrices are nondiff: the fwd rules run under symbolic_zeros=True and
+# raise if any step-matrix leaf is perturbed (a caller differentiating
+# through mats.vals/csc.vals fails loudly instead of silently getting
+# zeros); their cotangents are SymbolicZero.
 # ---------------------------------------------------------------------------
 
 
+def _unwrap_primal(tree):
+    """Strip CustomVJPPrimal wrappers (symbolic_zeros=True fwd calling
+    convention) back to plain arrays."""
+    return jax.tree_util.tree_map(lambda p: p.value, tree)
+
+
+def _assert_unperturbed(tree, what: str) -> None:
+    """Fail loudly if a caller differentiates through step-matrix values.
+
+    The VJPs below only propagate cotangents to (f, v); step matrices are
+    fixed MC samples (SURVEY §0.5). Without this check a future caller
+    differentiating w.r.t. mats.vals/csc.vals would silently receive zeros
+    (ADVICE r4)."""
+    if any(p.perturbed for p in jax.tree_util.tree_leaves(tree)):
+        raise ValueError(
+            f"differentiating through {what} values is unsupported: the "
+            "ELL/CSC product VJPs declare analytic transposes only for "
+            "(modulator, vector); wrap the step matrices in stop_gradient "
+            "or differentiate the dense layout instead"
+        )
+
+
 def _zero_cotangent(tree):
+    from jax.custom_derivatives import SymbolicZero
+
     return jax.tree_util.tree_map(
-        lambda x: (
-            jnp.zeros_like(x)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else np.zeros(x.shape, jax.dtypes.float0)
-        ),
-        tree,
+        lambda x: SymbolicZero(jax.typeof(x).to_tangent_aval()), tree
     )
 
 
@@ -727,6 +748,10 @@ def _ell_matvec_bm_op(mats, csc, f, v):
 
 
 def _ell_matvec_bm_fwd(mats, csc, f, v):
+    _assert_unperturbed(mats, "ELL step-matrix")
+    _assert_unperturbed(csc, "CSC step-matrix")
+    mats, csc = _unwrap_primal(mats), _unwrap_primal(csc)
+    f, v = f.value, v.value
     return ell_phi_matvec_bm(mats, f, v), (mats, csc, f, v)
 
 
@@ -741,7 +766,9 @@ def _ell_matvec_bm_bwd(res, g):
     return _zero_cotangent(mats), _zero_cotangent(csc), df, dv
 
 
-_ell_matvec_bm_op.defvjp(_ell_matvec_bm_fwd, _ell_matvec_bm_bwd)
+_ell_matvec_bm_op.defvjp(
+    _ell_matvec_bm_fwd, _ell_matvec_bm_bwd, symbolic_zeros=True
+)
 
 
 @jax.custom_vjp
@@ -755,6 +782,10 @@ def _ell_rmatvec_bm_op(mats, csc, f, v):
 
 
 def _ell_rmatvec_bm_fwd(mats, csc, f, v):
+    _assert_unperturbed(mats, "ELL step-matrix")
+    _assert_unperturbed(csc, "CSC step-matrix")
+    mats, csc = _unwrap_primal(mats), _unwrap_primal(csc)
+    f, v = f.value, v.value
     out = (
         csc_phi_rmatvec_bm(csc, f, v)
         if csc is not None
@@ -770,7 +801,9 @@ def _ell_rmatvec_bm_bwd(res, g):
     return _zero_cotangent(mats), _zero_cotangent(csc), df, dv
 
 
-_ell_rmatvec_bm_op.defvjp(_ell_rmatvec_bm_fwd, _ell_rmatvec_bm_bwd)
+_ell_rmatvec_bm_op.defvjp(
+    _ell_rmatvec_bm_fwd, _ell_rmatvec_bm_bwd, symbolic_zeros=True
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1199,12 +1232,17 @@ _STENCIL_PALLAS_OVERRIDE: Optional[bool] = None
 def set_stencil_pallas(enabled: Optional[bool]) -> None:
     """Override stencil-product Pallas dispatch: True/False force, None auto.
 
-    Takes effect at the next trace (jit caches keyed on shapes are only
-    reused after a *successful* compile, so flipping this after a compile
-    failure and re-calling retraces through the new dispatch).
+    Changing the value clears the process jit caches: dispatch happens at
+    trace time, so a cached executable from a *successful* compile would
+    otherwise keep running the old path (e.g. a pallas-off retry after an
+    execution-time TPU fault would silently re-run the Pallas kernels).
+    Recompiles are cheap under the persistent XLA compilation cache
+    (utils/config.enable_compilation_cache).
     """
     global _STENCIL_PALLAS_OVERRIDE
-    _STENCIL_PALLAS_OVERRIDE = enabled
+    if enabled is not _STENCIL_PALLAS_OVERRIDE:
+        _STENCIL_PALLAS_OVERRIDE = enabled
+        jax.clear_caches()
 
 
 def _stencil_use_pallas(num_nodes: int, num_offsets: int, offsets) -> bool:
