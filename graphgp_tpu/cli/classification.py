@@ -93,10 +93,17 @@ def main(argv=None):
                         "one fixed split shared by all seeds, the reference "
                         "protocol — np.random.seed(1) before the split, "
                         "cell 4 of every classification notebook)")
+    p.add_argument("--force-cpu", action="store_true",
+                   help="pin the JAX platform to CPU (must be set before "
+                        "backend init; the axon sitecustomize overrides the "
+                        "JAX_PLATFORMS env var)")
     p.add_argument("--results-dir", default="artifacts/results")
     args, _cfg = parse_with_config(p, argv)
 
     import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian
@@ -112,11 +119,20 @@ def main(argv=None):
         if args.cora_dir:
             from ..data.database import load_cora
 
-            adj, labels, tr_np, te_np = load_cora(args.cora_dir, seed=split_seed)
+            # Split sizes go to the loader so the train subset is a RANDOM
+            # num_train of the permutation (reference load_cora,
+            # cora_utils/preprocessing.py:63-65). Truncating the loader's
+            # SORTED default-split array instead would take the 140
+            # lowest node ids — which in cora.cites order are 86% one class
+            # (121/140 class 1) and collapse the small-split protocol.
+            adj, labels, tr_np, te_np = load_cora(
+                args.cora_dir,
+                num_train=args.small_train or 1988,
+                num_test=args.num_test or 497,
+                seed=split_seed,
+            )
             n = adj.shape[0]
             num_classes = int(labels.max()) + 1
-            if args.small_train:
-                tr_np = tr_np[: args.small_train]
         else:
             adj, labels = synthetic_community_graph(
                 args.n_nodes, args.num_classes, seed
@@ -129,7 +145,9 @@ def main(argv=None):
             tr_np = np.sort(perm[:n_tr])
             te_np = np.sort(perm[n_tr:])
 
-        if args.num_test:
+        if args.num_test and not args.cora_dir:
+            # synthetic path only — the cora loader already returns the
+            # requested num_test random non-train nodes
             pool = np.setdiff1d(np.arange(n), tr_np)
             rng_te = np.random.default_rng(1000 + split_seed)
             te_np = np.sort(

@@ -1390,3 +1390,23 @@ def ell_to_dense(mats: EllStepMatrices) -> jnp.ndarray:
     flat = ((step_ix * n + row_ix) * nt + mats.cols).reshape(-1)
     out = jnp.zeros((l * n * nt,), jnp.float32).at[flat].add(mats.vals.reshape(-1))
     return out.reshape(l, n, nt)
+
+
+# Step-matrix layouts are structurally non-differentiable (fixed MC samples;
+# see _assert_unperturbed). Registering them lets the linalg adjoint rules
+# (cg_solve/slq_logdet bwd) stop their gradients before the inner jax.vjp
+# through the matvec carry — those rules discard feature cotangents by
+# design, and without the stop the inner vjp would perturb the step-matrix
+# leaves and trip the loud check.
+from .linalg import register_nondiff_type as _register_nondiff_type  # noqa: E402
+
+for _cls in (
+    EllStepMatrices,
+    CscStepMatrices,
+    StencilStepMatrices,
+    EllFeatures,
+    StencilFeatures,
+    ContractedStencil,
+):
+    _register_nondiff_type(_cls)
+del _cls

@@ -26,6 +26,34 @@ import jax.numpy as jnp
 
 Matvec = Callable[[Any, jnp.ndarray], jnp.ndarray]
 
+# Pytree node types whose array leaves are structurally NON-differentiable
+# (fixed MC-sampled step matrices). The adjoint rules below take an inner
+# jax.vjp through the full matvec carry; stopping these nodes first (a)
+# avoids tripping the feature ops' loud perturbation check (features.py
+# _assert_unperturbed) and (b) documents that their cotangents are discarded
+# by design. features.py registers its layout dataclasses on import.
+_NONDIFF_TYPES: tuple = ()
+
+
+def register_nondiff_type(cls) -> None:
+    global _NONDIFF_TYPES
+    if cls not in _NONDIFF_TYPES:
+        _NONDIFF_TYPES = _NONDIFF_TYPES + (cls,)
+
+
+def _stop_nondiff(tree):
+    if not _NONDIFF_TYPES:
+        return tree
+
+    def visit(node):
+        if isinstance(node, _NONDIFF_TYPES):
+            return jax.tree_util.tree_map(jax.lax.stop_gradient, node)
+        return node
+
+    return jax.tree_util.tree_map(
+        visit, tree, is_leaf=lambda x: isinstance(x, _NONDIFF_TYPES)
+    )
+
 
 class CGResult(NamedTuple):
     x: jnp.ndarray
@@ -75,30 +103,40 @@ def batched_cg(
     z = r if precond is None else precond(params, r)
     p = z
     rz = jnp.sum(r * z, axis=red)  # (B,)
+    # ‖r‖² carried in state: with no preconditioner it equals rz (free); the
+    # preconditioned path pays one extra reduction per body. cond() reads the
+    # carried value — recomputing the norm in BOTH cond and body cost two
+    # full (B, N) HBM passes per iteration at the 1e6-node flagship.
+    rr = rz if precond is None else jnp.sum(r * r, axis=red)
     b_norm = jnp.maximum(jnp.linalg.norm(b, axis=red), 1e-30)
 
+    def res_of(rr):
+        return jnp.sqrt(jnp.maximum(rr, 0.0)) / b_norm
+
     def cond(state):
-        x, r, z, p, rz, it = state
-        res = jnp.linalg.norm(r, axis=red) / b_norm
-        return (it < max_iters) & jnp.any(res > tol)
+        x, r, z, p, rz, rr, it = state
+        return (it < max_iters) & jnp.any(res_of(rr) > tol)
 
     def body(state):
-        x, r, z, p, rz, it = state
+        x, r, z, p, rz, rr, it = state
         ap = matvec(params, p)
         denom = jnp.sum(p * ap, axis=red)
         alpha = jnp.where(denom != 0, rz / jnp.where(denom != 0, denom, 1.0), 0.0)
-        active = (jnp.linalg.norm(r, axis=red) / b_norm) > tol
+        active = res_of(rr) > tol
         alpha = jnp.where(active, alpha, 0.0)
         x = x + bcast(alpha) * p
         r = r - bcast(alpha) * ap
         z_new = r if precond is None else precond(params, r)
         rz_new = jnp.sum(r * z_new, axis=red)
+        rr_new = rz_new if precond is None else jnp.sum(r * r, axis=red)
         beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z_new + bcast(beta) * p
-        return (x, r, z_new, p, rz_new, it + 1)
+        return (x, r, z_new, p, rz_new, rr_new, it + 1)
 
-    x, r, _, _, _, it = jax.lax.while_loop(cond, body, (x, r, z, p, rz, 0))
-    res = jnp.linalg.norm(r, axis=red) / b_norm
+    x, r, _, _, _, rr, it = jax.lax.while_loop(
+        cond, body, (x, r, z, p, rz, rr, 0)
+    )
+    res = res_of(rr)
     if single:
         return CGResult(x[0] if batch_axis == 0 else x[:, 0], it, res[0])
     return CGResult(x, it, res)
@@ -144,7 +182,7 @@ def _cg_solve_bwd(matvec, tol, max_iters, batch_axis, residuals, g):
         matvec, params, g, tol=tol, max_iters=max_iters, batch_axis=batch_axis
     ).x
     # dL/dparams = -u^T (dA/dparams) x  via vjp of v ↦ matvec(params, v) at x
-    _, vjp_fn = jax.vjp(lambda p: matvec(p, x), params)
+    _, vjp_fn = jax.vjp(lambda p: matvec(_stop_nondiff(p), x), params)
     (dparams,) = vjp_fn(-u)
     return dparams, u
 
@@ -278,7 +316,7 @@ def _slq_bwd(
 
     # d logdet/d params = (1/P) Σ_p (A^{-1} z_p)^T (dA/dparams) z_p
     def quad(pp):
-        av = matvec(pp, probes)  # (N, P)
+        av = matvec(_stop_nondiff(pp), probes)  # (N, P)
         return jnp.sum(solves * av) / p
 
     # jax.vjp (not jax.grad): params may contain integer leaves (e.g. node
