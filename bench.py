@@ -156,27 +156,52 @@ def bench_cg(feats):
     params = P.init_params("diffusion", sfeats.max_walk_length,
                            jax.random.PRNGKey(0), noise=0.1)
     iters = 20
-    matvec = make_gram_matvec_bm_full()
+    bsz = 8
 
-    @jax.jit
-    def solve(params, sfeats, b):
-        f = P.modulator("diffusion", params, sfeats.max_walk_length)
-        phi = contract(sfeats, f)
-        node_mask = jnp.zeros((n,), jnp.float32).at[train_idx].set(1.0)
-        carry = (phi, P.noise_variance(params), node_mask)
-        return batched_cg(
-            matvec, carry, b * node_mask[None, :], tol=0.0, max_iters=iters,
-            batch_axis=0,
-        ).x
+    from graphgp_tpu.features import stencil_is_periodic
+    from graphgp_tpu.pallas_kernels import gram
 
-    # batch-major (B, N) full-space RHS; the long axis rides the 128 lanes
-    b = jax.random.normal(jax.random.PRNGKey(1), (8, n))
+    periodic = stencil_is_periodic(stencil)  # grid → False: no pad refresh
+
+    f = P.modulator("diffusion", params, sfeats.max_walk_length)
+    phi = contract(sfeats, f)
+    node_mask = jnp.zeros((n,), jnp.float32).at[train_idx].set(1.0)
+    noise_var = P.noise_variance(params)
+    b = jax.random.normal(jax.random.PRNGKey(1), (bsz, n)) * node_mask[None, :]
+
+    s = phi.w.shape[0]
+    use_fused = gram.gram_cg_applicable(n, s, bsz, phi.offsets)
+    if use_fused:
+        # fused padded masked-Gram CG (pallas_kernels/gram.py): persistent
+        # zero-padded layout, mask+σ² folded into the two Pallas passes
+        def solve(b):
+            return gram.gram_cg(
+                phi, noise_var, node_mask, b, tol=0.0, max_iters=iters,
+                periodic=periodic,
+            ).x
+    else:
+        matvec = make_gram_matvec_bm_full()
+
+        @jax.jit
+        def solve(b):
+            carry = (phi, noise_var, node_mask)
+            return batched_cg(
+                matvec, carry, b, tol=0.0, max_iters=iters, batch_axis=0,
+            ).x
 
     def run():
-        float(jnp.sum(solve(params, sfeats, b)))
+        float(jnp.sum(solve(b)))
 
     run()  # compile
     dt = _timeit(run, reps=2)
+    # HBM roofline position: bytes/iteration = two weight-table passes
+    # (2·S·N) + operand/window/output traffic of the two fused kernels
+    # (~8·B·N) + CG vector updates (~10·B·N) — the traffic model in
+    # pallas_kernels/gram.py. v5e HBM ≈ 820 GB/s.
+    bytes_per_iter = 4 * (2 * s * n + 18 * bsz * n)
+    emit("cg_hbm_gb_per_s_n1M_b8",
+         round(bytes_per_iter * (iters / dt) / 1e9, 1), "GB/s", None,
+         fused=bool(use_fused), bytes_per_iter_model=bytes_per_iter)
     return iters / dt
 
 

@@ -1410,3 +1410,28 @@ for _cls in (
 ):
     _register_nondiff_type(_cls)
 del _cls
+
+
+def stencil_is_periodic(mats: StencilStepMatrices) -> bool:
+    """True iff any wrap-region stencil weight is nonzero.
+
+    A stencil entry at (node j, centered offset off) wraps when
+    ``j + off ∉ [0, N)``. Non-periodic graphs carry vals = 0 there by
+    construction (the walk never produced that pair — StencilStepMatrices
+    docstring); ring/torus graphs carry real weight. Aperiodic stencils let
+    the fused padded CG (pallas_kernels/gram.py) skip its pad-mirroring
+    copy each product. Sums run on device; one scalar comes back.
+    """
+    from .pallas_kernels.stencil import center_offsets
+
+    n = mats.num_nodes
+    offs = center_offsets(mats.offsets, n)
+    pieces = []
+    for s, off in enumerate(offs.tolist()):
+        if off > 0:
+            pieces.append(jnp.sum(jnp.abs(mats.vals[:, s, n - off:])))
+        elif off < 0:
+            pieces.append(jnp.sum(jnp.abs(mats.vals[:, s, : -off])))
+    if not pieces:
+        return False
+    return bool(sum(pieces) > 0)

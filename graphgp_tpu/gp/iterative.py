@@ -173,6 +173,48 @@ def make_gram_matvec_bm_masked():
     return matvec
 
 
+def _fused_gram_solve_bm(phi, noise_var, node_mask, b_solve, settings):
+    """Route a full-space masked Gram solve through the fused padded CG
+    (pallas_kernels/gram.py) when the layout and shape allow; None → caller
+    falls back to the generic batched_cg path.
+
+    Non-differentiable (the fused kernels carry no VJP rules) — prediction
+    solves only; training solves keep cg_solve's adjoint path. Batches above
+    the 16-row launch cap split into independent chunked solves (the systems
+    are independent; the weight tables were re-read per 16-row chunk in the
+    old path too). ``periodic=True`` unconditionally: correct for every
+    stencil, costs one pad-mirroring copy per product (gram.py docstring).
+    """
+    from ..features import ContractedStencil
+
+    if not isinstance(phi, ContractedStencil):
+        return None
+    from ..pallas_kernels import gram
+
+    s, n = phi.w.shape
+    bsz = b_solve.shape[0]
+    chunk = min(bsz, gram._MAX_BATCH)
+    if not gram.gram_cg_applicable(n, s, chunk, phi.offsets):
+        return None
+    outs = []
+    for i in range(0, bsz, chunk):
+        piece = b_solve[i : i + chunk]
+        pad = chunk - piece.shape[0]
+        if pad:
+            piece = jnp.concatenate(
+                [piece, jnp.zeros((pad, n), piece.dtype)], axis=0
+            )
+        res = gram.gram_cg(
+            phi, noise_var, node_mask, piece,
+            tol=settings.cg_tol, max_iters=settings.cg_max_iters,
+            periodic=True,
+        )
+        if res is None:
+            return None
+        outs.append(res.x[: chunk - pad] if pad else res.x)
+    return jnp.concatenate(outs, axis=0)
+
+
 def make_gram_matvec_bm_full():
     """FULL-node-space masked Gram matvec: zero gathers/scatters per
     iteration. carry = (phi, noise_var, node_mask) with node_mask a 0/1
@@ -346,6 +388,12 @@ def pathwise_predict(
             jnp.zeros((n,), jnp.float32).at[train_idx].add(live), 1.0
         )
         b_solve = jnp.zeros((b.shape[0], n), b.dtype).at[:, train_idx].add(b)
+        v_fused = _fused_gram_solve_bm(
+            phi, noise_var, node_mask, b_solve, settings
+        )
+        if v_fused is not None:
+            correction = phi.matvec_bm(phi.rmatvec_bm(v_fused))[:, test_idx]
+            return f_test_prior + correction
         matvec = make_gram_matvec_bm_full()
         carry = (phi, noise_var, node_mask)
     elif mask is None:
