@@ -41,6 +41,14 @@ def main(argv=None):
     p.add_argument("--p-halt", type=float, default=0.1)
     p.add_argument("--max-walk-length", type=int, default=10)
     p.add_argument("--train-steps", type=int, default=200)
+    p.add_argument("--obs-noise", type=float, default=0.1,
+                   help="observation-noise std added to the NORMALIZED "
+                        "synthetic field (per seed). The reference's PEMS "
+                        "speeds carry real sensor noise; a noiseless "
+                        "synthetic field makes every fit near-interpolating "
+                        "and amplifies MC kernel error, hiding the "
+                        "GRF-to-exact-floor convergence the protocol "
+                        "demonstrates (traffic nb cells 20-22). 0 disables.")
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--gnn-baseline", action="store_true",
                    help="also train the GCN regression baseline")
@@ -103,18 +111,23 @@ def main(argv=None):
         perm = candidates[rng.permutation(candidates.size)]
         tr = jnp.asarray(np.sort(perm[: args.num_train]), jnp.int32)
         te = jnp.asarray(np.sort(perm[args.num_train :]), jnp.int32)
+        yv = y_all
+        if args.obs_noise > 0 and "sensor_nodes" not in data:
+            yv = y_all + args.obs_noise * jnp.asarray(
+                rng.normal(size=n), jnp.float32
+            )
 
-        sres = spectral.fit(eig, tr, y_all[tr], num_steps=args.train_steps)
-        spost = spectral.predict(eig, sres.params, tr, y_all[tr], te)
+        sres = spectral.fit(eig, tr, yv[tr], num_steps=args.train_steps)
+        spost = spectral.predict(eig, sres.params, tr, yv[tr], te)
         from ..gp import params as P
 
         var = spost.var + P.noise_variance(sres.params)
         rec = {
             "seed": seed, "kernel": "exact_diffusion", "walks_per_node": 0,
             "lml": -float(sres.losses[-1]),
-            "rmse": float(jnp.sqrt(jnp.mean((spost.mean - y_all[te]) ** 2))),
+            "rmse": float(jnp.sqrt(jnp.mean((spost.mean - yv[te]) ** 2))),
             "nlpd": float(jnp.mean(0.5 * (
-                jnp.log(2 * jnp.pi * var) + (y_all[te] - spost.mean) ** 2 / var
+                jnp.log(2 * jnp.pi * var) + (yv[te] - spost.mean) ** 2 / var
             ))),
             "beta": float(jax.nn.softplus(sres.params["raw_beta"])),
         }
@@ -129,15 +142,15 @@ def main(argv=None):
             # L-BFGS mirrors the reference dense stack's Scipy optimizer
             # (traffic nb cell 4; SURVEY §3.5)
             pres = exact.fit(
-                pofm, tr, y_all[tr], kind=kind, key=jax.random.PRNGKey(seed),
+                pofm, tr, yv[tr], kind=kind, key=jax.random.PRNGKey(seed),
                 num_steps=args.train_steps, optimizer="lbfgs",
             )
-            ppost = exact.predict(pofm, pres.params, tr, y_all[tr], te, kind=kind)
+            ppost = exact.predict(pofm, pres.params, tr, yv[tr], te, kind=kind)
             rec = {
                 "seed": seed, "kernel": f"pofm_{kind}", "walks_per_node": 0,
                 "lml": -float(pres.losses[-1]),
-                "rmse": float(exact.rmse(ppost, y_all[te])),
-                "nlpd": float(exact.nlpd(ppost, pres.params, y_all[te])),
+                "rmse": float(exact.rmse(ppost, yv[te])),
+                "nlpd": float(exact.nlpd(ppost, pres.params, yv[te])),
             }
             records.append(rec)
             print(
@@ -150,11 +163,11 @@ def main(argv=None):
             from ..baselines import fit_gcn
 
             gres = fit_gcn(
-                adj, tr, y_all[tr], num_steps=args.train_steps * 2,
+                adj, tr, yv[tr], num_steps=args.train_steps * 2,
                 key=jax.random.PRNGKey(seed),
             )
             g_rmse = float(
-                jnp.sqrt(jnp.mean((gres.predictions[te] - y_all[te]) ** 2))
+                jnp.sqrt(jnp.mean((gres.predictions[te] - yv[te]) ** 2))
             )
             records.append(
                 {"seed": seed, "kernel": "gcn", "walks_per_node": 0,
@@ -173,21 +186,30 @@ def main(argv=None):
                 max_walk_length=args.max_walk_length,
             )
             for kind in ("diffusion", "free"):
-                res = exact.fit(
-                    feats, tr, y_all[tr], kind=kind,
-                    key=jax.random.PRNGKey(seed),
-                    num_steps=args.train_steps, optimizer="lbfgs",
-                )
+                # two-restart fit, keep the better final loss: a single
+                # L-BFGS run occasionally lands in a degenerate basin
+                # (observed: one wpn=256 seed with NLPD ~1.7e5)
+                res = None
+                for init_key in (seed, 1000 + seed):
+                    r = exact.fit(
+                        feats, tr, yv[tr], kind=kind,
+                        key=jax.random.PRNGKey(init_key),
+                        num_steps=args.train_steps, optimizer="lbfgs",
+                    )
+                    if res is None or float(r.losses[-1]) < float(
+                        res.losses[-1]
+                    ):
+                        res = r
                 post = exact.predict(
-                    feats, res.params, tr, y_all[tr], te, kind=kind
+                    feats, res.params, tr, yv[tr], te, kind=kind
                 )
                 rec = {
                     "seed": seed,
                     "kernel": f"grf_{kind}",
                     "walks_per_node": wpn,
                     "lml": -float(res.losses[-1]),
-                    "rmse": float(exact.rmse(post, y_all[te])),
-                    "nlpd": float(exact.nlpd(post, res.params, y_all[te])),
+                    "rmse": float(exact.rmse(post, yv[te])),
+                    "nlpd": float(exact.nlpd(post, res.params, yv[te])),
                 }
                 records.append(rec)
                 print(
