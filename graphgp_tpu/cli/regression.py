@@ -52,10 +52,15 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, default=3)
     p.add_argument("--gnn-baseline", action="store_true",
                    help="also train the GCN regression baseline")
+    p.add_argument("--force-cpu", action="store_true",
+                   help="pin the JAX platform to CPU (see cli/bo.py)")
     p.add_argument("--results-dir", default="artifacts/results")
     args, _cfg = parse_with_config(p, argv)
 
     import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from .. import WalkConfig, pack_laplacian

@@ -70,6 +70,56 @@ def _load_edge_txt_gz(path: str) -> Arrays:
     return adj, np.arange(adj.shape[0]), _degree_targets(adj)
 
 
+def _load_pems_bay_distances(path: str) -> Arrays:
+    """Real PEMS-BAY sensor graph from the shipped road-distance table.
+
+    ``distances_bay_2017.csv`` (sensor_from, sensor_to, road distance in
+    meters — 325 Bay-Area sensors, 8k directed pairs) is the one PEMS
+    artifact the reference tree actually ships offline. Edge weights use
+    the DCRNN-style Gaussian distance kernel (see inline note; the
+    reference's ``mean_length/length`` convention applies to its OSMnx road
+    edges, traffic_utils/preprocessing.py:142-149, not to this proximity
+    table). The reference's full pipeline additionally
+    needs ``pems-bay.h5`` (speed signals) and an OSMnx download — both
+    absent here — so the TARGET field is a GP sample from the exact
+    diffusion kernel on this real graph (seeded, amplitude 1, β=5,
+    noiseless — drivers add observation noise per their protocol). The
+    graph is real; the field is a labeled stand-in.
+    """
+    import pandas as pd
+
+    df = pd.read_csv(path, header=None, names=["u", "v", "dist"])
+    df = df[(df["u"] != df["v"]) & (df["dist"] > 0)]
+    ids = np.unique(np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]))
+    id_map = {s: i for i, s in enumerate(ids.tolist())}
+    rows = df["u"].map(id_map).to_numpy()
+    cols = df["v"].map(id_map).to_numpy()
+    dist = df["dist"].to_numpy(dtype=np.float64)
+    # DCRNN-style adjacency — the canonical public treatment of this exact
+    # file: w = exp(−(d/σ)²) with σ = std of distances, thresholded at 0.1.
+    # (The raw table is a dense proximity list, mean degree ~46; the
+    # reference's mean_length/length weighting applies to its OSMnx ROAD
+    # edges, not to this table — used raw it yields a near-complete graph
+    # whose diffusion fields are white.)
+    sigma = dist.std()
+    w = np.exp(-((dist / sigma) ** 2))
+    keep = w >= 0.1
+    n = ids.size
+    adj = sp.coo_matrix((w[keep], (rows[keep], cols[keep])), shape=(n, n))
+    adj = adj.tocsr().maximum(adj.T.tocsr())  # symmetrize directed pairs
+
+    dense = adj.toarray()
+    deg = dense.sum(axis=1)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0)), 0.0)
+    lap = np.eye(n) - dense * dinv[:, None] * dinv[None, :]
+    evals, evecs = np.linalg.eigh(lap)
+    k = (evecs * np.exp(-5.0 * evals)) @ evecs.T
+    rng = np.random.default_rng(7)
+    chol = np.linalg.cholesky(k + 1e-8 * np.eye(n))
+    y = chol @ rng.normal(size=n)
+    return adj.tocsr(), ids.astype(np.int64), y.astype(np.float32)
+
+
 def _load_csr_npz(path: str) -> Arrays:
     """Reference npz CSR-triplet layout (database.py:320-330)."""
     with np.load(path, allow_pickle=True) as data:
@@ -133,6 +183,15 @@ class GraphDataLoader:
             "enron": (
                 "social_networks/enron/email-Enron.txt.gz",
                 _load_edge_txt_gz,
+            ),
+            # Real PEMS-BAY road-distance sensor graph (325 nodes). The
+            # path is relative to the graph_bo raw_data root; in the
+            # reference tree it resolves to experiments/dense/
+            # traffic_dataset/data/PEMS/ (see _load_pems_bay_distances).
+            "pems_bay": (
+                "../../../dense/traffic_dataset/data/PEMS/"
+                "distances_bay_2017.csv",
+                _load_pems_bay_distances,
             ),
         }
         for level in ["500hpa", "800hpa", "1000hpa"]:

@@ -419,3 +419,48 @@ def test_svgp_exact_diffusion_kind(problem):
         jnp.mean((jnp.argmax(probs, -1) == labels[test_idx]).astype(jnp.float32))
     )
     assert acc > 0.8
+
+
+def test_robustmax_prob_is_largest_matches_mc():
+    """GH-quadrature P(argmax f = c) vs a Monte-Carlo estimate on random
+    factorized Gaussians (the reference's RobustMax.prob_is_largest engine)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    n, c = 6, 5
+    mean = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.2, 2.0, size=(n, c)), jnp.float32)
+    post = svgp.LatentPosterior(mean=mean, var=var)
+    sel = jnp.asarray(rng.integers(0, c, size=n), jnp.int32)
+    p_gh = np.asarray(svgp._prob_is_largest(post, sel, num_gh=30))
+
+    draws = rng.normal(size=(200_000, n, c)) * np.sqrt(np.asarray(var)) + np.asarray(mean)
+    p_mc = (draws.argmax(-1) == np.asarray(sel)[None, :]).mean(0)
+    np.testing.assert_allclose(p_gh, p_mc, atol=5e-3)
+
+    # predictive class probs: rows sum to ~1 (up to the epsilon smoothing)
+    probs = np.asarray(svgp.robustmax_class_probs(post))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=2e-3)
+
+
+def test_robustmax_elbo_trains(problem):
+    """RobustMax ELBO improves and separates the 2-class ring labeling."""
+    p = problem
+    n = p["feats"].num_nodes
+    labels = jnp.asarray((np.arange(n) % 60 < 30).astype(np.int32))
+    perm = np.random.default_rng(0).permutation(n)
+    train_idx = jnp.asarray(np.sort(perm[: n // 2]), jnp.int32)
+    test_idx = jnp.asarray(np.sort(perm[n // 2 :]), jnp.int32)
+    inducing_idx = train_idx[::2]
+    res = svgp.fit(
+        p["feats"], inducing_idx, train_idx, labels[train_idx],
+        num_latent=2, kind="diffusion", likelihood="robustmax",
+        num_steps=300, learning_rate=0.02,
+    )
+    assert float(res.losses[-1]) < float(res.losses[0])
+    pred = svgp.predict_class(
+        p["feats"], res.params, inducing_idx, test_idx,
+        kind="diffusion", likelihood="robustmax",
+    )
+    acc = float(jnp.mean((pred == labels[test_idx]).astype(jnp.float32)))
+    assert acc > 0.8
