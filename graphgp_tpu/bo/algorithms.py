@@ -55,63 +55,85 @@ class _TraversalBase(Algorithm):
             self.adj.indptr[node] : self.adj.indptr[node + 1]
         ].tolist()
 
+    def _random_unvisited(self, exclude: set) -> Optional[int]:
+        """A uniformly random node outside visited∪exclude.
+
+        Rejection sampling: at BO scale (visited ≪ N — the flagship is 1e6
+        nodes, a few thousand visited) the first draw almost always lands.
+        Materializing ``set(range(N)) − visited`` instead cost ~seconds PER
+        dry-frontier event at N=1e6 and dominated whole BFS/DFS cells.
+        Falls back to the exact set difference only when rejection keeps
+        missing (nearly-exhausted graph)."""
+        for _ in range(64):
+            cand = int(self.rng.integers(self.n_nodes))
+            if cand not in self.visited and cand not in exclude:
+                return cand
+        unvisited = list(set(range(self.n_nodes)) - self.visited - exclude)
+        if not unvisited:
+            return None
+        return int(self.rng.choice(unvisited))
+
     def update(self, observed_idx, observed_y):
         self.visited.update(int(i) for i in observed_idx)
 
 
 class BFS(_TraversalBase):
-    """FIFO frontier expansion (reference bo_utils.py:33-96)."""
+    """FIFO frontier expansion (reference bo_utils.py:33-96).
+
+    A parallel membership set mirrors the queue (the reference's
+    ``nb not in self.queue`` list scan is O(q) per neighbor) and dry-frontier
+    restarts draw via rejection sampling — see _random_unvisited."""
+
+    _POP_INDEX = 0  # FIFO; DFS overrides to -1
 
     def __init__(self, adjacency_csr, n_nodes, rng):
         super().__init__(adjacency_csr, n_nodes, rng)
         self.queue: List[int] = []
+        self._queued: set = set()
 
     def _expand_from(self, node, selected):
         for nb in self._neighbors(node):
-            if nb not in self.visited and nb not in self.queue and nb not in selected:
+            if (
+                nb not in self.visited
+                and nb not in self._queued
+                and nb not in selected
+            ):
                 self.queue.append(nb)
+                self._queued.add(nb)
+
+    def _prune(self):
+        self.queue = [n for n in self.queue if n not in self.visited]
+        self._queued = set(self.queue)
 
     def select_next_points(self, observed_idx, observed_y, batch_size=1):
         if not self.queue:
             self._expand_from(int(self.rng.choice(observed_idx)), set())
-        self.queue = [n for n in self.queue if n not in self.visited]
+        self._prune()
         selected: List[int] = []
+        sel_set: set = set()
         while len(selected) < batch_size:
             if not self.queue:
-                self._expand_from(int(self.rng.choice(observed_idx)), set(selected))
+                self._expand_from(int(self.rng.choice(observed_idx)), sel_set)
             if self.queue:
-                selected.append(self.queue.pop(0))
+                node = self.queue.pop(self._POP_INDEX)
+                self._queued.discard(node)
             else:
-                unvisited = list(set(range(self.n_nodes)) - self.visited - set(selected))
-                if not unvisited:
+                node = self._random_unvisited(sel_set)
+                if node is None:
                     break
-                selected.append(int(self.rng.choice(unvisited)))
+            selected.append(node)
+            sel_set.add(node)
         return selected
 
     def update(self, observed_idx, observed_y):
         super().update(observed_idx, observed_y)
-        self.queue = [n for n in self.queue if n not in self.visited]
+        self._prune()
 
 
 class DFS(BFS):
     """LIFO variant (reference bo_utils.py:98-157): pop from the end."""
 
-    def select_next_points(self, observed_idx, observed_y, batch_size=1):
-        if not self.queue:
-            self._expand_from(int(self.rng.choice(observed_idx)), set())
-        self.queue = [n for n in self.queue if n not in self.visited]
-        selected: List[int] = []
-        while len(selected) < batch_size:
-            if not self.queue:
-                self._expand_from(int(self.rng.choice(observed_idx)), set(selected))
-            if self.queue:
-                selected.append(self.queue.pop())
-            else:
-                unvisited = list(set(range(self.n_nodes)) - self.visited - set(selected))
-                if not unvisited:
-                    break
-                selected.append(int(self.rng.choice(unvisited)))
-        return selected
+    _POP_INDEX = -1
 
 
 class GreedySearch(_TraversalBase):
@@ -142,10 +164,18 @@ class GreedySearch(_TraversalBase):
             selected = sorted(self.frontier)[:batch_size]
             self.frontier -= set(selected)
             return list(selected)
-        unvisited = list(set(range(self.n_nodes)) - self.visited)
-        pool = unvisited if unvisited else list(range(self.n_nodes))
-        take = min(batch_size, len(pool))
-        return self.rng.choice(pool, size=take, replace=False).tolist()
+        selected: List[int] = []
+        sel_set: set = set()
+        for _ in range(batch_size):
+            node = self._random_unvisited(sel_set)
+            if node is None:
+                break
+            selected.append(node)
+            sel_set.add(node)
+        if selected:
+            return selected
+        take = min(batch_size, self.n_nodes)
+        return self.rng.choice(self.n_nodes, size=take, replace=False).tolist()
 
     def update(self, observed_idx, observed_y):
         super().update(observed_idx, observed_y)
