@@ -18,7 +18,8 @@ def test_regression_driver_small(tmp_path):
     ])
     kernels = {r["kernel"] for r in records}
     assert kernels == {
-        "exact_diffusion", "grf_diffusion", "grf_free", "pofm_diffusion", "pofm_free",
+        "exact_diffusion", "grf_diffusion", "grf_diffusion_transplant",
+        "grf_free", "pofm_diffusion", "pofm_free",
     }
     # GRF error should decrease (or at least not blow up) with more walks
     grf = {r["walks_per_node"]: r["rmse"] for r in records if r["kernel"] == "grf_diffusion"}
