@@ -1392,21 +1392,25 @@ def ell_to_dense(mats: EllStepMatrices) -> jnp.ndarray:
     return out.reshape(l, n, nt)
 
 
-# Step-matrix layouts are structurally non-differentiable (fixed MC samples;
-# see _assert_unperturbed). Registering them lets the linalg adjoint rules
-# (cg_solve/slq_logdet bwd) stop their gradients before the inner jax.vjp
-# through the matvec carry — those rules discard feature cotangents by
-# design, and without the stop the inner vjp would perturb the step-matrix
-# leaves and trip the loud check.
+# RAW step-matrix layouts are structurally non-differentiable (fixed MC
+# samples; see _assert_unperturbed). Registering them lets the linalg
+# adjoint rules (cg_solve/slq_logdet bwd) stop their gradients before the
+# inner jax.vjp through the matvec carry — those rules discard step-matrix
+# cotangents by design, and without the stop the inner vjp would perturb the
+# step-matrix leaves and trip the loud check.
+#
+# ONLY the raw layouts belong here. ContractedStencil (and the Contracted
+# wrapper generally) pre-folds the MODULATOR into its weights — its
+# cotangent IS the path by which mll gradients reach the kernel
+# hyperparameters on the stencil layout. Registering it silently zeroed
+# every stencil-path fit gradient (observed: flat 1e6-node BO regret —
+# Thompson's GP never trained).
 from .linalg import register_nondiff_type as _register_nondiff_type  # noqa: E402
 
 for _cls in (
     EllStepMatrices,
     CscStepMatrices,
     StencilStepMatrices,
-    EllFeatures,
-    StencilFeatures,
-    ContractedStencil,
 ):
     _register_nondiff_type(_cls)
 del _cls

@@ -120,9 +120,17 @@ def _rmv_mask_kernel(w_ref, ml, mc, mr, vl, vc, vr, out_ref, *, offs, c, nb):
 
 
 def _mv_epilogue_kernel(
-    w_ref, tl, tc, tr, mc, vc, nv_ref, out_ref, *, offs, c, nb
+    w_ref, tl, tc, tr, mc, vc, real_ref, nv_ref, out_ref, *, offs, c, nb
 ):
-    """out block p = mask ⊙ Σ_s w[s]·t[j+off_s] + σ²·mask⊙v + (1−mask)⊙v."""
+    """out block p = real ⊙ (mask ⊙ Σ_s w[s]·t[j+off_s] + σ²·mask⊙v +
+    (1−mask)⊙v).
+
+    ``real`` is the 0/1 indicator of genuine columns [C, C+n): the periodic
+    pad refresh mirrors leading columns into the tail region INSIDE the last
+    center block, and without this gate the identity term (1−m)·v wrote
+    those mirrors to the output tail — nonzero ghost columns that corrupted
+    every CG dot over the padded state (observed: solves agreeing at 10
+    iterations then diverging 20× by 30)."""
     p = pl.program_id(0)
 
     @pl.when((p == 0) | (p == nb + 1))
@@ -140,7 +148,9 @@ def _mv_epilogue_kernel(
         m = mc[...]
         v = vc[...]
         nv = nv_ref[0, 0]
-        out_ref[...] = m * acc + (nv * m) * v + (1.0 - m) * v
+        out_ref[...] = real_ref[...] * (
+            m * acc + (nv * m) * v + (1.0 - m) * v
+        )
 
 
 def _win_specs(b: int, c: int, nb: int):
@@ -157,9 +167,12 @@ def _win_specs(b: int, c: int, nb: int):
 
 
 def _mask_specs(c: int, nb: int):
+    # mask rides as (1, Np): 1-D operands hit an XLA-vs-Mosaic tiled-layout
+    # mismatch (observed: compile failure at small Np, silently wrong reads
+    # at large Np — f32[512] XLA layout T(512) vs Mosaic T(128))
     def at(shift):
         return pl.BlockSpec(
-            (c,), lambda p, _s=shift: (jnp.clip(p - 1 + _s, 0, nb + 1),)
+            (1, c), lambda p, _s=shift: (0, jnp.clip(p - 1 + _s, 0, nb + 1))
         )
 
     return [at(0), at(1), at(2)]
@@ -182,7 +195,9 @@ def _rmv_mask(w_p, mask_p, v_p, offsets, c, nb, interpret=False):
 
 
 @partial(jax.jit, static_argnames=("offsets", "c", "nb", "interpret"))
-def _mv_epilogue(w_p, t_p, mask_p, v_p, nv, offsets, c, nb, interpret=False):
+def _mv_epilogue(
+    w_p, t_p, mask_p, v_p, real_p, nv, offsets, c, nb, interpret=False
+):
     s = w_p.shape[0]
     b = v_p.shape[0]
     return pl.pallas_call(
@@ -191,14 +206,15 @@ def _mv_epilogue(w_p, t_p, mask_p, v_p, nv, offsets, c, nb, interpret=False):
         in_specs=[pl.BlockSpec((s, c), lambda p: (0, jnp.clip(p, 0, nb + 1)))]
         + _win_specs(b, c, nb)
         + [
-            pl.BlockSpec((c,), lambda p: (jnp.clip(p, 0, nb + 1),)),
+            pl.BlockSpec((1, c), lambda p: (0, jnp.clip(p, 0, nb + 1))),
             pl.BlockSpec((b, c), lambda p: (0, jnp.clip(p, 0, nb + 1))),
+            pl.BlockSpec((1, c), lambda p: (0, jnp.clip(p, 0, nb + 1))),
             pl.BlockSpec((1, 1), lambda p: (0, 0)),
         ],
         out_specs=pl.BlockSpec((b, c), lambda p: (0, p)),
         out_shape=jax.ShapeDtypeStruct((b, (nb + 2) * c), jnp.float32),
         interpret=interpret,
-    )(w_p, *([t_p] * 3), mask_p, v_p, nv)
+    )(w_p, *([t_p] * 3), mask_p, v_p, real_p, nv)
 
 
 def _probe_ok(
@@ -211,11 +227,11 @@ def _probe_ok(
     try:
         wspec = jax.ShapeDtypeStruct((s, np_cols), jnp.float32)
         vspec = jax.ShapeDtypeStruct((b, np_cols), jnp.float32)
-        mspec = jax.ShapeDtypeStruct((np_cols,), jnp.float32)
+        mspec = jax.ShapeDtypeStruct((1, np_cols), jnp.float32)
         nvspec = jax.ShapeDtypeStruct((1, 1), jnp.float32)
         _rmv_mask.lower(wspec, mspec, vspec, neg, c, nb).compile()
         _mv_epilogue.lower(
-            wspec, vspec, mspec, vspec, nvspec, offs, c, nb
+            wspec, vspec, mspec, vspec, mspec, nvspec, offs, c, nb
         ).compile()
         return True
     except Exception:
@@ -279,13 +295,15 @@ def _gram_cg_padded(
     neg = tuple(-o for o in offsets)
     w_p = _pad_weights(w, n, c, nb)
     ws_p = _pad_weights(w_shift, n, c, nb)
-    mask_p = pad_state(mask[None, :], n, c, nb)
+    mask_p = pad_state(mask[None, :], n, c, nb)  # (1, Np) — 2-D on purpose
+    # 0/1 indicator of genuine columns [C, C+n) — the epilogue's output gate
+    # (see _mv_epilogue_kernel docstring)
+    real_p = pad_state(jnp.ones((1, n), jnp.float32), n, c, nb)
     if periodic:
         # kernel A multiplies the v WINDOW by the mask window — wrap
         # contributions read mask pads, which must mirror the edges (done
         # once: the mask is constant across the solve)
         mask_p = _refresh_pads(mask_p, n, c)
-    mask_p = mask_p[0]
     nv = jnp.reshape(noise_var.astype(jnp.float32), (1, 1))
     b_p = pad_state(b_rhs.astype(jnp.float32), n, c, nb)
 
@@ -296,7 +314,7 @@ def _gram_cg_padded(
         if periodic:
             t_p = _refresh_pads(t_p, n, c)
         return _mv_epilogue(
-            w_p, t_p, mask_p, v_p, nv, offsets, c, nb, interpret
+            w_p, t_p, mask_p, v_p, real_p, nv, offsets, c, nb, interpret
         )
 
     x = jnp.zeros_like(b_p)

@@ -58,8 +58,15 @@ def _stencil_for(adj):
 
 @pytest.mark.parametrize(
     "make,periodic_expected",
-    [(lambda: _ring_csr(256), True), (lambda: _grid_csr(16), False)],
-    ids=["ring-periodic", "grid-aperiodic"],
+    [
+        (lambda: _ring_csr(256), True),
+        (lambda: _grid_csr(16), False),
+        # n=225 with c=128 → nonzero tail inside the last center block:
+        # regression case for the periodic pad-refresh leaking mirrored
+        # columns into the tail (ghost nonzeros in every CG dot)
+        (lambda: _grid_csr(15), False),
+    ],
+    ids=["ring-periodic", "grid-aperiodic", "grid-tailed"],
 )
 def test_gram_cg_matches_reference_path(make, periodic_expected):
     adj = make()
@@ -109,3 +116,35 @@ def test_gram_cg_matches_reference_path(make, periodic_expected):
         np.testing.assert_allclose(
             np.asarray(got_p.x), np.asarray(got.x), atol=1e-6
         )
+
+
+def test_stencil_mll_cg_gradient_nonzero():
+    """mll_cg gradients w.r.t. kernel hyperparameters must be NONZERO on the
+    stencil layout. Regression test: registering ContractedStencil as a
+    linalg nondiff type silently zeroed the adjoint path through the
+    modulator-folded weights — fits ran but trained nothing (flat 1e6-node
+    BO regret, round 5)."""
+    import jax
+
+    from graphgp_tpu.gp import iterative, params as P
+
+    adj = _grid_csr(16)
+    stencil = _stencil_for(adj)
+    feats = StencilFeatures(stencil)
+    n = stencil.vals.shape[2]
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=n // 2), jnp.float32)
+    tr = jnp.arange(0, n, 2, dtype=jnp.int32)
+    params = P.init_params(
+        "diffusion", feats.max_walk_length, jax.random.PRNGKey(0), noise=0.3
+    )
+
+    def loss(q):
+        return -iterative.mll_cg(
+            feats, q, tr, y, jax.random.PRNGKey(1), kind="diffusion",
+        )
+
+    grads = jax.grad(loss)(params)
+    assert float(jnp.abs(grads["raw_beta"])) > 0.0
+    assert float(jnp.abs(grads["raw_sigma_f"])) > 0.0
+    assert float(jnp.abs(grads["raw_noise"])) > 0.0
