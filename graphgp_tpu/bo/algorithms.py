@@ -218,7 +218,7 @@ class GRFThompson(Algorithm):
         train_epochs: int = 50,
         retrain_interval: int = 10,
         settings=None,
-        jax_seed: int = 0,
+        jax_seed: Optional[int] = None,
         observation_capacity: Optional[int] = None,
     ):
         super().__init__(n_nodes, rng)
@@ -236,6 +236,11 @@ class GRFThompson(Algorithm):
         self.visited: set = set()
         self.cached_params = None
         self.last_training_size = 0
+        if jax_seed is None:
+            # derive from the per-BO-seed host rng: Thompson draws (and fit
+            # init) must vary across protocol seeds — a fixed key made every
+            # seed's GRF cell identical (regret std 0.0000 across 5 seeds)
+            jax_seed = int(rng.integers(2**31 - 1))
         self._key = jax.random.PRNGKey(jax_seed)
 
     def _next_key(self):
