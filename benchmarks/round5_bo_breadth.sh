@@ -10,9 +10,13 @@ mkdir -p "$LOG"
 
 for gt in grid periodic_grid staircase_grid circle grid_multimodal; do
   echo "=== bo_1m $gt start $(date +%T) ==="
+  # Non-isolated: one process per graph type — the 1e6-node step matrices
+  # upload through the tunnel ONCE per type instead of once per cell
+  # (isolated cells each paid ~2-5 min of H2D; a TPU worker crash now costs
+  # at most this type's remaining cells, recorded as error rows).
   timeout 7200 python -m graphgp_tpu.cli.bo \
     --graph-type "$gt" --n-nodes 1000000 \
-    --iterations 50 --runs 5 --isolate --cell-timeout 3000 \
+    --iterations 50 --runs 5 \
     --initial-points 100 --batch-size 100 \
     --walks-per-node 1000 --max-walk-length 5 \
     --learning-rate 0.01 --train-epochs 40 --gp-retrain-interval 1000 \

@@ -50,6 +50,15 @@ def main(argv=None):
                         "GRF-to-exact-floor convergence the protocol "
                         "demonstrates (traffic nb cells 20-22). 0 disables.")
     p.add_argument("--seeds", type=int, default=3)
+    p.add_argument("--gp-field", type=float, default=None, metavar="BETA",
+                   help="replace the dataset targets with a GP sample from "
+                        "amplitude·exp(−BETA·L) on the loaded graph (seeded "
+                        "once, shared across seeds). Matches the protocol "
+                        "conditions of the reference's PEMS study, whose "
+                        "speed field is diffusion-smooth on a sparse road "
+                        "graph — the regime where the GRF estimator's "
+                        "per-step importance factors stay near 1 and the "
+                        "convergence plot is clean (traffic nb cells 20-22)")
     p.add_argument("--gnn-baseline", action="store_true",
                    help="also train the GCN regression baseline")
     p.add_argument("--force-cpu", action="store_true",
@@ -87,6 +96,24 @@ def main(argv=None):
         data = GraphDataLoader()(args.graph_type)
 
     n = data["y_observed"].shape[0]
+    if args.gp_field is not None:
+        adj_d = np.asarray(
+            data["adjacency"].toarray()
+            if hasattr(data["adjacency"], "toarray")
+            else data["adjacency"],
+            np.float64,
+        )
+        deg = adj_d.sum(axis=1)
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0)), 0.0)
+        lap_d = np.eye(n) - adj_d * dinv[:, None] * dinv[None, :]
+        ev, evec = np.linalg.eigh(lap_d)
+        k_field = (evec * np.exp(-args.gp_field * ev)) @ evec.T
+        rng_f = np.random.default_rng(7)
+        data = dict(data)
+        data["y_observed"] = (
+            np.linalg.cholesky(k_field + 1e-8 * np.eye(n))
+            @ rng_f.normal(size=n)
+        ).astype(np.float32)
     y_all = jnp.asarray(
         (data["y_observed"] - data["y_observed"].mean())
         / (data["y_observed"].std() + 1e-12),
@@ -143,6 +170,7 @@ def main(argv=None):
         )
 
         # PoFM arms: same GP stack over exact power features
+        pofm_params = {}
         for kind in ("diffusion", "free"):
             # L-BFGS mirrors the reference dense stack's Scipy optimizer
             # (traffic nb cell 4; SURVEY §3.5)
@@ -150,6 +178,7 @@ def main(argv=None):
                 pofm, tr, yv[tr], kind=kind, key=jax.random.PRNGKey(seed),
                 num_steps=args.train_steps, optimizer="lbfgs",
             )
+            pofm_params[kind] = pres.params
             ppost = exact.predict(pofm, pres.params, tr, yv[tr], te, kind=kind)
             rec = {
                 "seed": seed, "kernel": f"pofm_{kind}", "walks_per_node": 0,
@@ -189,6 +218,34 @@ def main(argv=None):
                 adj, jax.random.PRNGKey(42 + seed),
                 walks_per_node=wpn, p_halt=args.p_halt,
                 max_walk_length=args.max_walk_length,
+            )
+            # Transplant arm — the reference's actual diffusion-GRF sweep
+            # protocol (traffic nb cell 20): NO per-wpn refit; the
+            # PoFM-diffusion fit's (β, σ_f, noise) are transplanted and the
+            # GRF kernel is evaluated as-is. As wpn → ∞ the GRF kernel
+            # equals the PoFM kernel exactly (K̂ = Φ̂Φ̂ᵀ → K_f K_fᵀ), so
+            # this arm's RMSE converges to the pofm_diffusion floor by
+            # construction — the convergence claim, isolated from fit
+            # stability (per-wpn refits at large learned β amplify
+            # high-order Taylor-coefficient MC noise; see README).
+            tpost = exact.predict(
+                feats, pofm_params["diffusion"], tr, yv[tr], te,
+                kind="diffusion",
+            )
+            rec = {
+                "seed": seed,
+                "kernel": "grf_diffusion_transplant",
+                "walks_per_node": wpn,
+                "lml": float("nan"),
+                "rmse": float(exact.rmse(tpost, yv[te])),
+                "nlpd": float(
+                    exact.nlpd(tpost, pofm_params["diffusion"], yv[te])
+                ),
+            }
+            records.append(rec)
+            print(
+                f"seed={seed} grf_diffusion_transplant wpn={wpn}: "
+                f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f}"
             )
             for kind in ("diffusion", "free"):
                 # two-restart fit, keep the better final loss: a single
