@@ -132,3 +132,32 @@ def test_pems_like_generator():
 
     # speed field in a plausible range with congestion structure
     assert 20.0 < d["y_true"].min() < d["y_true"].max() <= 66.0
+
+
+def test_pems_bay_distance_loader(tmp_path):
+    """DCRNN-style PEMS-BAY graph from a fabricated distance table: Gaussian
+    weights thresholded at 0.1, symmetrized, GP-sampled targets."""
+    import numpy as np
+
+    from graphgp_tpu.data.database import _load_pems_bay_distances
+
+    rng = np.random.default_rng(0)
+    ids = 400000 + np.arange(12)
+    rows = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            if abs(i - j) <= 3:
+                rows.append((ids[i], ids[j], 500.0 * abs(i - j)))
+    path = tmp_path / "distances.csv"
+    with open(path, "w") as fh:
+        for u, v, d in rows:
+            fh.write(f"{u},{v},{d}\n")
+        fh.write(f"{ids[0]},{ids[0]},0.0\n")  # self-loop row must be dropped
+
+    adj, node_ids, y = _load_pems_bay_distances(str(path))
+    n = adj.shape[0]
+    assert n == 12 and node_ids.tolist() == ids.tolist()
+    assert (adj != adj.T).nnz == 0  # symmetric
+    assert adj.diagonal().sum() == 0  # no self loops
+    assert np.all(adj.data > 0) and np.all(adj.data <= 1.0)
+    assert y.shape == (n,) and np.isfinite(y).all() and y.std() > 0
