@@ -5,11 +5,13 @@ classification (reference experiments/dense/cora/classification_multiple_GRF.ipy
 cell 7: gpflow.models.SVGP with MultiClass likelihood, inducing points =
 half the train node indices, whitened representation, Adam lr=0.003 ×1000).
 
-Design: whitened q(u) = N(m, L Lᵀ) per latent GP (one per class), ELBO with a
-Monte-Carlo expected log-likelihood (reparameterization trick; exact for the
-Gaussian likelihood, low-variance for softmax with a handful of samples).
-All node covariances come from the shared GRF feature matrix Φ via gathers —
-no N×N materialization.
+Design: whitened q(u) = N(m, L Lᵀ) per latent GP (one per class). Three
+likelihoods: **robustmax** (the protocol default — analytic Gauss–Hermite
+variational expectations for the RobustMax MultiClass likelihood, GPflow's
+default and the recipe behind the reference's Cora numbers), softmax
+(Monte-Carlo reparameterized ELBO), and gaussian (closed form). All node
+covariances come from the shared GRF feature matrix Φ via gathers — no N×N
+materialization.
 """
 from __future__ import annotations
 
