@@ -169,15 +169,46 @@ def main(argv=None):
             f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f} (beta={rec['beta']:.2f})"
         )
 
+        def fit_restarts(feats_, kind):
+            """L-BFGS (reference dense stack's Scipy optimizer, traffic nb
+            cell 4; SURVEY §3.5) with kind-aware restarts, keeping the best
+            final loss. 'free' restarts redraw the random modulator init
+            from different keys; 'diffusion' restarts sweep the β init
+            instead — the key doesn't enter the (β, σ_f) init at all, so
+            key-based restarts were a no-op there, and a single β₀=1 start
+            collapses to the noise-only basin on some splits (observed:
+            pofm_diffusion lml=-5068, σ_f≈0, which poisoned every
+            transplant-arm row downstream with constant prior-mean
+            predictions)."""
+            if kind == "diffusion":
+                kwargs = [
+                    {"init": P.init_params(
+                        kind, feats_.max_walk_length,
+                        jax.random.PRNGKey(0), beta=b0,
+                    )}
+                    for b0 in (1.0, 4.0)
+                ]
+            else:
+                kwargs = [
+                    {"key": jax.random.PRNGKey(k)}
+                    for k in (seed, 1000 + seed)
+                ]
+            best = None
+            for kw in kwargs:
+                r = exact.fit(
+                    feats_, tr, yv[tr], kind=kind,
+                    num_steps=args.train_steps, optimizer="lbfgs", **kw
+                )
+                if best is None or float(r.losses[-1]) < float(
+                    best.losses[-1]
+                ):
+                    best = r
+            return best
+
         # PoFM arms: same GP stack over exact power features
         pofm_params = {}
         for kind in ("diffusion", "free"):
-            # L-BFGS mirrors the reference dense stack's Scipy optimizer
-            # (traffic nb cell 4; SURVEY §3.5)
-            pres = exact.fit(
-                pofm, tr, yv[tr], kind=kind, key=jax.random.PRNGKey(seed),
-                num_steps=args.train_steps, optimizer="lbfgs",
-            )
+            pres = fit_restarts(pofm, kind)
             pofm_params[kind] = pres.params
             ppost = exact.predict(pofm, pres.params, tr, yv[tr], te, kind=kind)
             rec = {
@@ -248,20 +279,10 @@ def main(argv=None):
                 f"rmse={rec['rmse']:.4f} nlpd={rec['nlpd']:.4f}"
             )
             for kind in ("diffusion", "free"):
-                # two-restart fit, keep the better final loss: a single
-                # L-BFGS run occasionally lands in a degenerate basin
-                # (observed: one wpn=256 seed with NLPD ~1.7e5)
-                res = None
-                for init_key in (seed, 1000 + seed):
-                    r = exact.fit(
-                        feats, tr, yv[tr], kind=kind,
-                        key=jax.random.PRNGKey(init_key),
-                        num_steps=args.train_steps, optimizer="lbfgs",
-                    )
-                    if res is None or float(r.losses[-1]) < float(
-                        res.losses[-1]
-                    ):
-                        res = r
+                # restart policy: see fit_restarts (a single L-BFGS run
+                # occasionally lands in a degenerate basin — observed one
+                # wpn=256 seed with NLPD ~1.7e5)
+                res = fit_restarts(feats, kind)
                 post = exact.predict(
                     feats, res.params, tr, yv[tr], te, kind=kind
                 )

@@ -22,6 +22,9 @@ This module removes the packaging:
   the mask multiply inside the window load; kernel B computes
   ``mask ⊙ (Φ t) + σ²·mask⊙v + (1−mask)⊙v`` in its accumulator epilogue.
   The masked Gram operator is exactly two HBM passes per CG iteration.
+* **Fused CG denominator.** Kernel B also emits per-block partials of
+  ``⟨v, Av⟩`` (it already holds both blocks in VMEM), so the CG alpha
+  needs no separate 2·B·N reduction pass over (p, Ap).
 
 Wraparound: a stencil whose wrap-region weights are all zero (any
 non-periodic graph — entries that would wrap carry vals = 0 by
@@ -120,10 +123,13 @@ def _rmv_mask_kernel(w_ref, ml, mc, mr, vl, vc, vr, out_ref, *, offs, c, nb):
 
 
 def _mv_epilogue_kernel(
-    w_ref, tl, tc, tr, mc, vc, real_ref, nv_ref, out_ref, *, offs, c, nb
+    w_ref, tl, tc, tr, mc, vc, real_ref, nv_ref, out_ref, dot_ref,
+    *, offs, c, nb
 ):
     """out block p = real ⊙ (mask ⊙ Σ_s w[s]·t[j+off_s] + σ²·mask⊙v +
-    (1−mask)⊙v).
+    (1−mask)⊙v); dot block p = Σ_cols v ⊙ out (per-block partials of the CG
+    denominator ⟨p, Ap⟩, summed by the caller — fusing the dot here removes
+    a separate 2·B·N HBM reduction pass per CG iteration).
 
     ``real`` is the 0/1 indicator of genuine columns [C, C+n): the periodic
     pad refresh mirrors leading columns into the tail region INSIDE the last
@@ -136,6 +142,7 @@ def _mv_epilogue_kernel(
     @pl.when((p == 0) | (p == nb + 1))
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref)
+        dot_ref[...] = jnp.zeros_like(dot_ref)
 
     @pl.when((p > 0) & (p < nb + 1))
     def _compute():
@@ -148,9 +155,9 @@ def _mv_epilogue_kernel(
         m = mc[...]
         v = vc[...]
         nv = nv_ref[0, 0]
-        out_ref[...] = real_ref[...] * (
-            m * acc + (nv * m) * v + (1.0 - m) * v
-        )
+        out = real_ref[...] * (m * acc + (nv * m) * v + (1.0 - m) * v)
+        out_ref[...] = out
+        dot_ref[...] = jnp.sum(v * out, axis=-1, keepdims=True)
 
 
 def _win_specs(b: int, c: int, nb: int):
@@ -211,8 +218,14 @@ def _mv_epilogue(
             pl.BlockSpec((1, c), lambda p: (0, jnp.clip(p, 0, nb + 1))),
             pl.BlockSpec((1, 1), lambda p: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((b, c), lambda p: (0, p)),
-        out_shape=jax.ShapeDtypeStruct((b, (nb + 2) * c), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((b, c), lambda p: (0, p)),
+            pl.BlockSpec((b, 1), lambda p: (0, p)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, (nb + 2) * c), jnp.float32),
+            jax.ShapeDtypeStruct((b, nb + 2), jnp.float32),
+        ],
         interpret=interpret,
     )(w_p, *([t_p] * 3), mask_p, v_p, real_p, nv)
 
@@ -308,14 +321,18 @@ def _gram_cg_padded(
     b_p = pad_state(b_rhs.astype(jnp.float32), n, c, nb)
 
     def matvec(v_p):
+        """Returns (A v, ⟨v, A v⟩) — the denominator dot rides out of the
+        epilogue kernel as per-block partials instead of a separate
+        full-array reduction pass."""
         if periodic:
             v_p = _refresh_pads(v_p, n, c)
         t_p = _rmv_mask(ws_p, mask_p, v_p, neg, c, nb, interpret)
         if periodic:
             t_p = _refresh_pads(t_p, n, c)
-        return _mv_epilogue(
+        out, dots = _mv_epilogue(
             w_p, t_p, mask_p, v_p, real_p, nv, offsets, c, nb, interpret
         )
+        return out, jnp.sum(dots, axis=1)
 
     x = jnp.zeros_like(b_p)
     r = b_p  # x0 = 0 ⇒ r = b
@@ -329,8 +346,7 @@ def _gram_cg_padded(
 
     def body(state):
         x, r, p, rz, it = state
-        ap = matvec(p)
-        denom = jnp.sum(p * ap, axis=1)
+        ap, denom = matvec(p)
         alpha = jnp.where(denom != 0, rz / jnp.where(denom != 0, denom, 1.0), 0.0)
         active = rz > (tol * tol) * b_norm2
         alpha = jnp.where(active, alpha, 0.0)
