@@ -127,9 +127,14 @@ def _mv_epilogue_kernel(
     *, offs, c, nb
 ):
     """out block p = real ⊙ (mask ⊙ Σ_s w[s]·t[j+off_s] + σ²·mask⊙v +
-    (1−mask)⊙v); dot block p = Σ_cols v ⊙ out (per-block partials of the CG
+    (1−mask)⊙v); dot block p = per-LANE partials of Σ_cols v ⊙ out (the CG
     denominator ⟨p, Ap⟩, summed by the caller — fusing the dot here removes
-    a separate 2·B·N HBM reduction pass per CG iteration).
+    a separate 2·B·N HBM reduction pass per CG iteration). The partials
+    keep a full 128-lane minor axis: a (B, 1) block output violates the
+    Mosaic tiling constraint (last dim must be lane-divisible or equal to
+    the array dim) and fails to compile on hardware — invisible under
+    interpret-mode tests, which is why the dot block is (B, LANES) with the
+    cross-lane reduction left to the caller.
 
     ``real`` is the 0/1 indicator of genuine columns [C, C+n): the periodic
     pad refresh mirrors leading columns into the tail region INSIDE the last
@@ -157,7 +162,10 @@ def _mv_epilogue_kernel(
         nv = nv_ref[0, 0]
         out = real_ref[...] * (m * acc + (nv * m) * v + (1.0 - m) * v)
         out_ref[...] = out
-        dot_ref[...] = jnp.sum(v * out, axis=-1, keepdims=True)
+        vo = v * out
+        dot_ref[...] = jnp.sum(
+            vo.reshape(vo.shape[0], c // _LANES, _LANES), axis=1
+        )
 
 
 def _win_specs(b: int, c: int, nb: int):
@@ -220,11 +228,11 @@ def _mv_epilogue(
         ],
         out_specs=[
             pl.BlockSpec((b, c), lambda p: (0, p)),
-            pl.BlockSpec((b, 1), lambda p: (0, p)),
+            pl.BlockSpec((b, _LANES), lambda p: (0, p)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, (nb + 2) * c), jnp.float32),
-            jax.ShapeDtypeStruct((b, nb + 2), jnp.float32),
+            jax.ShapeDtypeStruct((b, (nb + 2) * _LANES), jnp.float32),
         ],
         interpret=interpret,
     )(w_p, *([t_p] * 3), mask_p, v_p, real_p, nv)
